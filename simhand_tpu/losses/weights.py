@@ -1,0 +1,257 @@
+"""Distance-adaptive contrastive weights (the SiMHand "_w" contribution).
+
+Replicates the reference weighting math (src/models/utils.py:218-388):
+
+* ``linear_weights``   — min/max-normalized, inverted distances
+  (closer pair => weight -> 1).
+* ``nonlinear_weights``— sigmoid 1/(1+exp(lambda*(d - mu))) with batch-mean mu.
+* ``apply_pca``        — PCA reduction of (B, 21, 2) joints to (B, q)
+  before distance computation (reference uses torch.pca_lowrank;
+  we use an exact eigendecomposition of the 42x42 Gram matrix — the
+  randomized variant's sign/approximation nondeterminism is dropped).
+
+All batch statistics (min / max / mean) are **global-batch** statistics.
+Under sharding these become pmin / pmax / pmean over the mesh axis so the
+weights match a single-device full-batch run exactly (the reference's
+8-GPU "dp" silently computed them per sub-batch; we match the intended
+single-device semantics, as required by the rebuild spec).
+
+The negative-weight matrix is returned **row-sharded**: local rows
+(2*B_local) x global columns (2*N_global), ready for
+``weighted_nt_xent``. Pairwise distances are computed joint-by-joint with
+a ``fori_loop`` so the peak intermediate is one (rows, cols) plane rather
+than a (rows, cols, 21, 2) broadcast — HBM-friendly at batch 8192.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+_PREC = jax.lax.Precision.HIGHEST
+
+DIFF_TYPES = ("w_o_abs", "w_abs", "mpjpe")
+
+
+# --------------------------------------------------------------------------
+# per-pair (positive) distances
+# --------------------------------------------------------------------------
+
+def _pair_distance(j1: Array, j2: Array, diff_type: str) -> Array:
+    """Per-sample distance between paired joint sets (B, 21, 2) -> (B,)."""
+    if diff_type == "w_o_abs":
+        d = jnp.mean(j1 - j2, axis=1)                  # (B, 2)
+        return jnp.linalg.norm(d, axis=1)
+    if diff_type == "w_abs":
+        d = jnp.mean(jnp.abs(j1 - j2), axis=1)         # (B, 2)
+        return jnp.linalg.norm(d, axis=1)
+    if diff_type == "mpjpe":
+        d = jnp.linalg.norm(j1 - j2, axis=-1)          # (B, 21)
+        return jnp.mean(d, axis=1)
+    raise ValueError(f"unknown diff_type {diff_type!r}")
+
+
+def _pair_distance_flat(j1: Array, j2: Array, diff_type: str) -> Array:
+    """Distances between PCA-reduced vectors (B, q) -> (B,).
+
+    Reference: get_weights_{linear,nonlinear}_with_pca —
+    'mpjpe' degenerates to a plain euclidean norm over the q dims.
+    """
+    if diff_type == "w_o_abs":
+        return jnp.linalg.norm(j1 - j2, axis=1)
+    if diff_type == "w_abs":
+        return jnp.linalg.norm(jnp.abs(j1 - j2), axis=1)
+    if diff_type == "mpjpe":
+        return jnp.linalg.norm(j1 - j2, axis=-1)
+    raise ValueError(f"unknown diff_type {diff_type!r}")
+
+
+# --------------------------------------------------------------------------
+# pairwise (negative) distance matrices, memory-tiled
+# --------------------------------------------------------------------------
+
+def _pairwise_matrix(rows: Array, cols: Array, diff_type: str) -> Array:
+    """(R, 21, 2) x (C, 21, 2) -> (R, C) pairwise distance matrix."""
+    R, C = rows.shape[0], cols.shape[0]
+
+    if diff_type == "w_o_abs":
+        # mean over coords is linear => reduce to (R, 21)/(C, 21) vectors,
+        # then accumulate exact squared differences joint-by-joint (the
+        # ||u||^2+||v||^2-2uv matmul trick loses ~1e-3 to f32 cancellation,
+        # which the min/max normalization amplifies).
+        u = jnp.mean(rows, axis=-1)                    # (R, 21)
+        v = jnp.mean(cols, axis=-1)                    # (C, 21)
+
+        def body(j, acc):
+            d = u[:, j][:, None] - v[:, j][None, :]
+            return acc + d * d
+
+        acc = jax.lax.fori_loop(0, u.shape[1], body, jnp.zeros((R, C), rows.dtype))
+        return jnp.sqrt(acc)
+
+    if diff_type == "w_abs":
+        # norm over joints of per-joint (|dx|+|dy|)/2 — accumulate squares.
+        def body(j, acc):
+            dx = jnp.abs(rows[:, j, 0][:, None] - cols[:, j, 0][None, :])
+            dy = jnp.abs(rows[:, j, 1][:, None] - cols[:, j, 1][None, :])
+            t = 0.5 * (dx + dy)
+            return acc + t * t
+
+        acc = jax.lax.fori_loop(0, rows.shape[1], body, jnp.zeros((R, C), rows.dtype))
+        return jnp.sqrt(acc)
+
+    if diff_type == "mpjpe":
+        # mean over joints of per-joint euclidean distance.
+        def body(j, acc):
+            dx = rows[:, j, 0][:, None] - cols[:, j, 0][None, :]
+            dy = rows[:, j, 1][:, None] - cols[:, j, 1][None, :]
+            return acc + jnp.sqrt(dx * dx + dy * dy)
+
+        acc = jax.lax.fori_loop(0, rows.shape[1], body, jnp.zeros((R, C), rows.dtype))
+        return acc / rows.shape[1]
+
+    raise ValueError(f"unknown diff_type {diff_type!r}")
+
+
+def _pairwise_matrix_flat(rows: Array, cols: Array, diff_type: str) -> Array:
+    """(R, q) x (C, q) -> (R, C) for PCA-reduced vectors."""
+    if diff_type not in DIFF_TYPES:
+        raise ValueError(f"unknown diff_type {diff_type!r}")
+    # 'w_abs' takes abs() before the norm — |a-b| has the same norm as
+    # (a-b) — so all three types reduce to a euclidean distance matrix.
+    # Exact per-dim accumulation (see _pairwise_matrix for why no matmul).
+    R, C = rows.shape[0], cols.shape[0]
+
+    def body(j, acc):
+        d = rows[:, j][:, None] - cols[:, j][None, :]
+        return acc + d * d
+
+    acc = jax.lax.fori_loop(0, rows.shape[1], body, jnp.zeros((R, C), rows.dtype))
+    return jnp.sqrt(acc)
+
+
+# --------------------------------------------------------------------------
+# global statistics helpers
+# --------------------------------------------------------------------------
+
+def _gmin(x: Array, axis_name):
+    m = jnp.min(x)
+    return jax.lax.pmin(m, axis_name) if axis_name else m
+
+
+def _gmax(x: Array, axis_name):
+    m = jnp.max(x)
+    return jax.lax.pmax(m, axis_name) if axis_name else m
+
+
+def _gmean(x: Array, axis_name):
+    m = jnp.mean(x)
+    return jax.lax.pmean(m, axis_name) if axis_name else m
+
+
+def _gather_rows_cols(j1: Array, j2: Array, axis_name):
+    """Local rows [j1;j2] and global columns [j1_all;j2_all]."""
+    local = jnp.concatenate([j1, j2], axis=0)
+    if axis_name is None:
+        return local, local
+    a = jax.lax.all_gather(j1, axis_name, axis=0, tiled=True)
+    b = jax.lax.all_gather(j2, axis_name, axis=0, tiled=True)
+    return local, jnp.concatenate([a, b], axis=0)
+
+
+# --------------------------------------------------------------------------
+# public API
+# --------------------------------------------------------------------------
+
+def linear_weights(
+    joints1: Array,
+    joints2: Array,
+    diff_type: str = "mpjpe",
+    axis_name: str | None = None,
+    flat: bool = False,
+):
+    """Linear (min/max-normalized, inverted) adaptive weights.
+
+    Args:
+      joints1, joints2: (B_local, 21, 2) 2D joints — or (B_local, q) when
+        ``flat`` (PCA-reduced).
+      diff_type: one of 'w_o_abs' | 'w_abs' | 'mpjpe'.
+      axis_name: mesh axis for global-batch statistics and columns.
+
+    Returns:
+      pos_weights: (B_local,), neg_weights: (2*B_local, 2*N_global).
+    """
+    pdist = _pair_distance_flat if flat else _pair_distance
+    pmat = _pairwise_matrix_flat if flat else _pairwise_matrix
+
+    pos_d = pdist(joints1, joints2, diff_type)
+    pos_max, pos_min = _gmax(pos_d, axis_name), _gmin(pos_d, axis_name)
+    pos_w = (pos_max - pos_d) / (pos_max - pos_min)
+
+    rows, cols = _gather_rows_cols(joints1, joints2, axis_name)
+    neg_d = pmat(rows, cols, diff_type)
+    neg_max, neg_min = _gmax(neg_d, axis_name), _gmin(neg_d, axis_name)
+    neg_w = (neg_max - neg_d) / (neg_max - neg_min)
+    return pos_w, neg_w
+
+
+def nonlinear_weights(
+    joints1: Array,
+    joints2: Array,
+    lambda_pos: float,
+    lambda_neg: float,
+    diff_type: str = "mpjpe",
+    axis_name: str | None = None,
+    flat: bool = False,
+):
+    """Sigmoid adaptive weights: 1/(1+exp(lambda*(d - mean(d))))."""
+    pdist = _pair_distance_flat if flat else _pair_distance
+    pmat = _pairwise_matrix_flat if flat else _pairwise_matrix
+
+    pos_d = pdist(joints1, joints2, diff_type)
+    mu_pos = _gmean(pos_d, axis_name)
+    pos_w = 1.0 / (1.0 + jnp.exp(lambda_pos * (pos_d - mu_pos)))
+
+    rows, cols = _gather_rows_cols(joints1, joints2, axis_name)
+    neg_d = pmat(rows, cols, diff_type)
+    mu_neg = _gmean(neg_d, axis_name)
+    neg_w = 1.0 / (1.0 + jnp.exp(lambda_neg * (neg_d - mu_neg)))
+    return pos_w, neg_w
+
+
+@partial(jax.jit, static_argnames=("target_dim", "axis_name"))
+def apply_pca(
+    joints: Array, target_dim: int = 14, axis_name: str | None = None
+) -> Array:
+    """Projects (B, 21, 2) joints onto the top principal axes -> (B, q).
+
+    Matches the reference contract (src/models/utils.py:192-215): principal
+    directions are computed on the *centered* data, but the *uncentered*
+    flattened joints are projected. Under sharding the covariance is
+    psum-reduced over the mesh axis, so every device projects with the same
+    global basis. Deterministic exact eigendecomposition of the 42x42
+    second-moment matrix replaces torch's randomized pca_lowrank.
+    """
+    B = joints.shape[0]
+    x = joints.reshape(B, -1).astype(jnp.float32)      # (B, 42)
+
+    mean = jnp.mean(x, axis=0)
+    if axis_name is not None:
+        mean = jax.lax.pmean(mean, axis_name)
+    xc = x - mean
+    cov = jnp.dot(xc.T, xc, precision=_PREC)           # (42, 42)
+    n = jnp.asarray(B, jnp.float32)
+    if axis_name is not None:
+        cov = jax.lax.psum(cov, axis_name)
+        n = jax.lax.psum(n, axis_name)
+    cov = cov / n
+
+    # eigh returns ascending eigenvalues; take the top target_dim.
+    _, vecs = jnp.linalg.eigh(cov)
+    v = vecs[:, ::-1][:, :target_dim]                  # (42, q)
+    # Fix a deterministic sign convention: largest-|.| component positive.
+    signs = jnp.sign(v[jnp.argmax(jnp.abs(v), axis=0), jnp.arange(target_dim)])
+    v = v * signs[None, :]
+    return jnp.dot(x, v, precision=_PREC)

@@ -1,0 +1,199 @@
+"""The contrastive model family: one encoder+head module, eight experiment
+types realised as pure loss pipelines.
+
+Experiment-type semantics (reference: src/models/unsupervised/*.py and
+src/experiments/utils.py:633-700 ``get_model``):
+
+  simclr        two augs of the same image, plain NT-Xent
+  simclr_w      same pairs, adaptive weights, NO feature-space equivariance
+  peclr         same pairs + inverse-transform equivariance
+  peclr_w       peclr + adaptive weights
+  simhand-base  similar-hand positive pairs + equivariance, plain NT-Xent
+  simhand       same as simhand-base (kept as a distinct CLI name)
+  simhand_w     similar-hand pairs + equivariance + adaptive weights
+  simhand_vis   simhand_w pipeline, plain loss, extra visualization outputs
+
+The positive-pair *source* (same image vs mined similar hand) is a data-
+pipeline concern; on the model side simhand === peclr with different
+batches. All pipelines run on the global batch when ``axis_name`` is set.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from simhand_tpu.losses.contrastive import (
+    neg_weighted_nt_xent,
+    nt_xent,
+    pos_weighted_nt_xent,
+    weighted_nt_xent,
+)
+from simhand_tpu.losses.weights import apply_pca, linear_weights, nonlinear_weights
+from simhand_tpu.models.equivariance import (
+    _l2_normalize,
+    inverse_transform_projections,
+)
+from simhand_tpu.models.projection import ProjectionHead
+from simhand_tpu.models.resnet import FEATURE_DIMS, RESNETS
+
+Array = jax.Array
+
+EXPERIMENT_TYPES = (
+    "simclr",
+    "simclr_w",
+    "peclr",
+    "peclr_w",
+    "simhand-base",
+    "simhand",
+    "simhand_w",
+    "simhand_vis",
+)
+
+_EQUIVARIANT = {"peclr", "peclr_w", "simhand-base", "simhand", "simhand_w", "simhand_vis"}
+_WEIGHTED = {"simclr_w", "peclr_w", "simhand_w"}
+
+
+@dataclasses.dataclass(frozen=True)
+class ContrastiveConfig:
+    """Static configuration of a contrastive experiment (hashable, jit-safe)."""
+
+    experiment_type: str = "simclr"
+    augmentation: tuple[str, ...] = ()        # e.g. ("crop", "rotate", ...)
+    temperature: float = 0.5
+    image_side: float = 128.0
+    # _w variants:
+    weight_type: str = "linear"               # "linear" | "non_linear"
+    diff_type: str = "mpjpe"                  # "w_o_abs" | "w_abs" | "mpjpe"
+    pos_neg: str = "pos_neg"                  # "pos" | "neg" | "pos_neg"
+    joints_type: str = "aug"                  # "original" | "aug"
+    use_pca: bool = False
+    pca_dim: int = 14
+    non_linear_lambda_pos: float = 5.0
+    non_linear_lambda_neg: float = 0.05
+
+    def __post_init__(self):
+        assert self.experiment_type in EXPERIMENT_TYPES, self.experiment_type
+
+
+class ContrastiveModel(nn.Module):
+    """ResNet encoder + projection head (the pre-training network)."""
+
+    resnet_size: str = "50"
+    proj_hidden_dim: int = 512
+    proj_output_dim: int = 128
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.encoder = RESNETS[self.resnet_size](dtype=self.dtype, name="encoder")
+        self.projection_head = ProjectionHead(
+            hidden_dim=self.proj_hidden_dim,
+            output_dim=self.proj_output_dim,
+            dtype=self.dtype,
+            name="projection_head",
+        )
+
+    def __call__(self, images: Array, train: bool = False):
+        """images: (N, H, W, 3) float; returns (embedding, projection)."""
+        emb = self.encoder(images, train=train)
+        proj = self.projection_head(emb, train=train)
+        return emb, proj
+
+    @property
+    def feature_dim(self) -> int:
+        return FEATURE_DIMS[self.resnet_size]
+
+
+def transformed_projections(
+    projections: Array, batch: dict, cfg: ContrastiveConfig
+):
+    """Raw head outputs -> normalized (z1, z2) per the experiment type."""
+    b = projections.shape[0] // 2
+    if cfg.experiment_type in _EQUIVARIANT:
+        jx = jy = ang = None
+        if "crop" in cfg.augmentation:
+            jx = jnp.concatenate([batch["jitter_x_1"], batch["jitter_x_2"]])
+            jy = jnp.concatenate([batch["jitter_y_1"], batch["jitter_y_2"]])
+        if "rotate" in cfg.augmentation:
+            ang = jnp.concatenate([batch["angle_1"], batch["angle_2"]])
+        return inverse_transform_projections(
+            projections, jx, jy, ang, cfg.image_side
+        )
+    return _l2_normalize(projections[:b]), _l2_normalize(projections[b:])
+
+
+def adaptive_weights(batch: dict, cfg: ContrastiveConfig, axis_name: str | None):
+    """(pos_weights, neg_weights) from per-sample joints per the config."""
+    key = "ori" if cfg.joints_type == "original" else "aug"
+    j1 = batch[f"joints1_{key}"][..., :2]
+    j2 = batch[f"joints2_{key}"][..., :2]
+    flat = False
+    if cfg.use_pca:
+        j1 = apply_pca(j1, cfg.pca_dim, axis_name=axis_name)
+        j2 = apply_pca(j2, cfg.pca_dim, axis_name=axis_name)
+        flat = True
+    if cfg.weight_type == "linear":
+        return linear_weights(j1, j2, cfg.diff_type, axis_name=axis_name, flat=flat)
+    return nonlinear_weights(
+        j1,
+        j2,
+        cfg.non_linear_lambda_pos,
+        cfg.non_linear_lambda_neg,
+        cfg.diff_type,
+        axis_name=axis_name,
+        flat=flat,
+    )
+
+
+def contrastive_loss_from_projections(
+    projections: Array,
+    batch: dict,
+    cfg: ContrastiveConfig,
+    axis_name: str | None = None,
+):
+    """Full per-step contrastive loss for any experiment type.
+
+    Args:
+      projections: (2*B_local, D) raw projection-head outputs
+        ([view1; view2] row layout).
+      batch: the per-device batch dict (jitters / angles / joints as needed).
+      cfg: experiment config.
+      axis_name: mesh axis for the global negative set (None = local).
+
+    Returns:
+      (loss, (z1, z2)).
+    """
+    z1, z2 = transformed_projections(projections, batch, cfg)
+    if cfg.experiment_type in _WEIGHTED:
+        pw, nw = adaptive_weights(batch, cfg, axis_name)
+        if cfg.pos_neg == "pos_neg":
+            loss = weighted_nt_xent(z1, z2, pw, nw, cfg.temperature, axis_name)
+        elif cfg.pos_neg == "pos":
+            loss = pos_weighted_nt_xent(z1, z2, pw, cfg.temperature, axis_name)
+        elif cfg.pos_neg == "neg":
+            loss = neg_weighted_nt_xent(z1, z2, nw, cfg.temperature, axis_name)
+        else:
+            raise ValueError(f"unknown pos_neg {cfg.pos_neg!r}")
+    else:
+        loss = nt_xent(z1, z2, cfg.temperature, axis_name)
+    return loss, (z1, z2)
+
+
+def projection_stats(projections: Array, name: str) -> dict:
+    """Per-axis stats of (B, P, 2)-viewed projections (reference logging:
+    e.g. src/models/unsupervised/simhand_w_model.py:138-152)."""
+    p = projections.reshape(projections.shape[0], -1, 2)
+    mean = jnp.mean(p, axis=1)
+    median = jnp.median(p, axis=1)
+    pmin = jnp.min(p, axis=1)
+    pmax = jnp.max(p, axis=1)
+    out = {}
+    for axis, ax_name in ((0, "x"), (1, "y")):
+        out[f"{name}{ax_name}_mean"] = jnp.mean(mean, axis=0)[axis]
+        out[f"{name}{ax_name}_median"] = jnp.mean(median, axis=0)[axis]
+        out[f"{name}{ax_name}_min"] = jnp.mean(pmin, axis=0)[axis]
+        out[f"{name}{ax_name}_max"] = jnp.mean(pmax, axis=0)[axis]
+    return out

@@ -1,0 +1,152 @@
+"""TPU-native flax ResNet family (18/34/50/101/152).
+
+Structurally equivalent to the torchvision ResNets the reference wraps
+(reference: src/models/resnet_model.py:6-58, src/models/utils.py:728-746)
+so released checkpoints port in both directions, but written NHWC-first
+for TPU: convolutions lower onto the MXU with bf16 compute / f32 params,
+BatchNorm statistics live in a mutable ``batch_stats`` collection, and all
+shapes are static under jit.
+
+Module names mirror torchvision state-dict keys (``conv1``, ``bn1``,
+``layer1_0_conv2`` ...) so checkpoint interop is a pure name-mangling
+exercise (see simhand_tpu/train/torch_port.py).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+ModuleDef = Any
+
+
+class BasicBlock(nn.Module):
+    """ResNet-18/34 block: 3x3 -> 3x3, expansion 1."""
+
+    filters: int
+    strides: int
+    conv: ModuleDef
+    norm: ModuleDef
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = self.conv(self.filters, (3, 3), (self.strides, self.strides), name="conv1")(x)
+        y = self.norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters, (3, 3), name="conv2")(y)
+        y = self.norm(name="bn2")(y)
+        if residual.shape != y.shape:
+            residual = self.conv(
+                self.filters, (1, 1), (self.strides, self.strides), name="downsample_conv"
+            )(x)
+            residual = self.norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    """ResNet-50/101/152 block: 1x1 -> 3x3 -> 1x1, expansion 4."""
+
+    filters: int
+    strides: int
+    conv: ModuleDef
+    norm: ModuleDef
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = self.conv(self.filters, (1, 1), name="conv1")(x)
+        y = self.norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters, (3, 3), (self.strides, self.strides), name="conv2")(y)
+        y = self.norm(name="bn2")(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters * self.expansion, (1, 1), name="conv3")(y)
+        y = self.norm(name="bn3")(y)
+        if residual.shape != y.shape:
+            residual = self.conv(
+                self.filters * self.expansion,
+                (1, 1),
+                (self.strides, self.strides),
+                name="downsample_conv",
+            )(x)
+            residual = self.norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet(nn.Module):
+    """torchvision-layout ResNet, NHWC.
+
+    Attributes:
+      stage_sizes: blocks per stage, e.g. (3, 4, 6, 3) for ResNet-50.
+      block: BasicBlock or Bottleneck.
+      num_features: channels of the final stage (for reference only).
+      dtype: compute dtype (bf16 on TPU; params stay f32).
+      pool: if True, global-average-pool to a flat embedding
+        ("pretraining" mode); if False return the (N, H/32, W/32, C)
+        feature map (detnet backbone mode).
+    """
+
+    stage_sizes: Sequence[int]
+    block: Callable[..., nn.Module]
+    dtype: Any = jnp.float32
+    pool: bool = True
+    norm_momentum: float = 0.9
+    norm_epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv = partial(
+            nn.Conv, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32
+        )
+        norm = partial(
+            nn.BatchNorm,
+            use_running_average=not train,
+            momentum=self.norm_momentum,
+            epsilon=self.norm_epsilon,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            axis_name=None,
+        )
+
+        x = x.astype(self.dtype)
+        x = conv(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], name="conv1")(x)
+        x = norm(name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        for stage, num_blocks in enumerate(self.stage_sizes):
+            for b in range(num_blocks):
+                strides = 2 if stage > 0 and b == 0 else 1
+                x = self.block(
+                    filters=64 * 2**stage,
+                    strides=strides,
+                    conv=conv,
+                    norm=norm,
+                    name=f"layer{stage + 1}_{b}",
+                )(x)
+
+        if self.pool:
+            x = jnp.mean(x, axis=(1, 2))  # (N, C) global average pool
+        return x.astype(jnp.float32)
+
+
+resnet18 = partial(ResNet, stage_sizes=(2, 2, 2, 2), block=BasicBlock)
+resnet34 = partial(ResNet, stage_sizes=(3, 4, 6, 3), block=BasicBlock)
+resnet50 = partial(ResNet, stage_sizes=(3, 4, 6, 3), block=Bottleneck)
+resnet101 = partial(ResNet, stage_sizes=(3, 4, 23, 3), block=Bottleneck)
+resnet152 = partial(ResNet, stage_sizes=(3, 8, 36, 3), block=Bottleneck)
+
+RESNETS = {
+    "18": resnet18,
+    "34": resnet34,
+    "50": resnet50,
+    "101": resnet101,
+    "152": resnet152,
+}
+
+FEATURE_DIMS = {"18": 512, "34": 512, "50": 2048, "101": 2048, "152": 2048}

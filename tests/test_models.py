@@ -1,0 +1,143 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simhand_tpu.models import (
+    ContrastiveModel,
+    ProjectionHead,
+    resnet18,
+    resnet50,
+    rotate_encodings,
+    translate_encodings,
+)
+from simhand_tpu.models.contrastive import (
+    ContrastiveConfig,
+    contrastive_loss_from_projections,
+)
+
+
+def n_params(tree):
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
+
+
+def test_resnet50_param_count_matches_torchvision():
+    model = resnet50()
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    # torchvision resnet50 minus fc: 25,557,032 - (2048*1000 + 1000)
+    assert n_params(variables["params"]) == 23_508_032
+
+
+def test_resnet18_param_count_matches_torchvision():
+    model = resnet18()
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    # torchvision resnet18 minus fc: 11,689,512 - (512*1000 + 1000)
+    assert n_params(variables["params"]) == 11_176_512
+
+
+def test_resnet_output_shapes():
+    model = resnet50(pool=False)
+    variables = model.init(jax.random.key(0), jnp.zeros((2, 128, 128, 3)))
+    feats = model.apply(variables, jnp.zeros((2, 128, 128, 3)))
+    assert feats.shape == (2, 4, 4, 2048)
+
+    pooled = resnet50(pool=True)
+    variables = pooled.init(jax.random.key(0), jnp.zeros((2, 128, 128, 3)))
+    emb = pooled.apply(variables, jnp.zeros((2, 128, 128, 3)))
+    assert emb.shape == (2, 2048)
+
+
+def test_projection_head_shapes():
+    head = ProjectionHead()
+    variables = head.init(jax.random.key(0), jnp.zeros((4, 2048)))
+    out = head.apply(variables, jnp.ones((4, 2048)))
+    assert out.shape == (4, 128)
+
+
+def test_rotate_encodings_matches_cv2():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(0)
+    enc = rng.normal(size=(3, 64, 2)).astype(np.float32)
+    ang = np.array([15.0, -40.0, 90.0], dtype=np.float32)
+    got = np.asarray(rotate_encodings(jnp.asarray(enc), jnp.asarray(ang)))
+    for b in range(3):
+        c = enc[b].mean(axis=0)
+        m = cv2.getRotationMatrix2D((float(c[0]), float(c[1])), float(ang[b]), 1.0)
+        want = enc[b] @ m[:, :2].T + m[:, 2]
+        np.testing.assert_allclose(got[b], want, rtol=1e-4, atol=1e-5)
+
+
+def test_rotate_encodings_inverse_roundtrip():
+    rng = np.random.default_rng(1)
+    enc = jnp.asarray(rng.normal(size=(2, 64, 2)).astype(np.float32))
+    ang = jnp.asarray([33.0, -70.0])
+    out = rotate_encodings(rotate_encodings(enc, ang), -ang)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(enc), rtol=1e-4, atol=1e-5)
+
+
+def test_translate_encodings_semantics():
+    rng = np.random.default_rng(2)
+    enc = rng.normal(size=(2, 64, 2)).astype(np.float32)
+    tx = np.array([0.1, -0.2], dtype=np.float32)
+    ty = np.array([0.3, 0.0], dtype=np.float32)
+    got = np.asarray(
+        translate_encodings(jnp.asarray(enc), jnp.asarray(tx), jnp.asarray(ty))
+    )
+    spread = enc.max(axis=1) - enc.min(axis=1)
+    want = enc.copy()
+    want[..., 0] += (tx * spread[:, 0])[:, None]
+    want[..., 1] += (ty * spread[:, 1])[:, None]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "etype", ["simclr", "simclr_w", "peclr", "peclr_w", "simhand", "simhand_w"]
+)
+def test_contrastive_loss_runs_all_types(etype):
+    rng = np.random.default_rng(3)
+    B = 4
+    proj = jnp.asarray(rng.normal(size=(2 * B, 128)).astype(np.float32))
+    batch = {
+        "jitter_x_1": jnp.asarray(rng.uniform(-10, 0, B).astype(np.float32)),
+        "jitter_x_2": jnp.asarray(rng.uniform(-10, 0, B).astype(np.float32)),
+        "jitter_y_1": jnp.asarray(rng.uniform(-10, 0, B).astype(np.float32)),
+        "jitter_y_2": jnp.asarray(rng.uniform(-10, 0, B).astype(np.float32)),
+        "angle_1": jnp.asarray(rng.uniform(-45, 45, B).astype(np.float32)),
+        "angle_2": jnp.asarray(rng.uniform(-45, 45, B).astype(np.float32)),
+        "joints1_aug": jnp.asarray(rng.uniform(0, 128, (B, 21, 3)).astype(np.float32)),
+        "joints2_aug": jnp.asarray(rng.uniform(0, 128, (B, 21, 3)).astype(np.float32)),
+        "joints1_ori": jnp.asarray(rng.uniform(0, 128, (B, 21, 3)).astype(np.float32)),
+        "joints2_ori": jnp.asarray(rng.uniform(0, 128, (B, 21, 3)).astype(np.float32)),
+    }
+    cfg = ContrastiveConfig(
+        experiment_type=etype, augmentation=("crop", "rotate", "resize")
+    )
+    loss, (z1, z2) = contrastive_loss_from_projections(proj, batch, cfg)
+    assert np.isfinite(float(loss))
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(z1), axis=1), np.ones(B), rtol=1e-5
+    )
+
+
+def test_contrastive_model_end_to_end_shapes():
+    model = ContrastiveModel(resnet_size="18")
+    imgs = jnp.zeros((4, 64, 64, 3))
+    variables = model.init(jax.random.key(0), imgs)
+    emb, proj = model.apply(variables, imgs)
+    assert emb.shape == (4, 512) and proj.shape == (4, 128)
+
+
+def test_contrastive_model_train_mode_updates_batch_stats():
+    model = ContrastiveModel(resnet_size="18")
+    imgs = jnp.asarray(
+        np.random.default_rng(5).normal(size=(4, 64, 64, 3)).astype(np.float32)
+    )
+    variables = model.init(jax.random.key(0), imgs)
+    (_, _), mutated = model.apply(
+        variables, imgs, train=True, mutable=["batch_stats"]
+    )
+    before = jax.tree.leaves(variables["batch_stats"])
+    after = jax.tree.leaves(mutated["batch_stats"])
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(before, after)
+    )

@@ -1,0 +1,44 @@
+"""Device-mesh helpers.
+
+The pre-training workload is pure data parallelism over the ICI mesh
+(ResNet-scale model, global-batch contrastive loss): a 1-D "data" axis.
+The contrastive losses all-gather the (2N, 128) projections over this axis
+and psum/pmin/pmax the batch statistics, so the global similarity matrix
+is computed row-sharded with zero redundancy (see simhand_tpu.losses).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def create_mesh(devices=None, axis_name: str = DATA_AXIS) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_spec(axis_name: str = DATA_AXIS) -> P:
+    """PartitionSpec sharding the leading (batch) axis."""
+    return P(axis_name)
+
+
+def replicate_spec() -> P:
+    return P()
+
+
+def shard_batch(mesh: Mesh, batch, axis_name: str = DATA_AXIS):
+    """Places a host batch dict on the mesh, sharded along axis 0."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicates a pytree (params / state) over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

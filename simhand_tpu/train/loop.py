@@ -1,0 +1,118 @@
+"""The sharded pre-training step.
+
+Design (TPU-first):
+  * the global batch is sharded over the 1-D "data" ICI mesh axis;
+  * each device runs encoder fwd/bwd on its shard (bf16 on the MXU);
+  * the contrastive loss all-gathers the 128-D projections (a few MB at
+    global batch 8192) and computes its row-shard of the (2N, 2N)
+    similarity matrix — the *global* negative set, unlike the reference's
+    per-GPU "dp" sub-batches;
+  * gradients are pmean-reduced over ICI; optimizer state and params are
+    replicated.
+
+Everything is a single jit-compiled ``shard_map`` program: XLA overlaps
+the gradient all-reduce with backprop, and there is no per-step host sync
+except the scalar metrics fetch.
+
+BatchNorm statistics are per-replica by design, matching the reference's
+DataParallel behavior (see SURVEY.md §"Hard parts" item 4).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from simhand_tpu.models.contrastive import (
+    ContrastiveConfig,
+    contrastive_loss_from_projections,
+)
+from simhand_tpu.parallel.mesh import DATA_AXIS
+
+
+def _step_fn(state, batch, model, cfg: ContrastiveConfig, axis_name: str | None):
+    """One SGD step on a (possibly per-device) batch shard."""
+    images = jnp.concatenate(
+        [batch["transformed_image1"], batch["transformed_image2"]], axis=0
+    )
+
+    def loss_fn(params):
+        (_, proj), mutated = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            images,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        loss, _ = contrastive_loss_from_projections(proj, batch, cfg, axis_name)
+        return loss, mutated["batch_stats"]
+
+    (loss, new_batch_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params
+    )
+    if axis_name is not None:
+        grads = jax.lax.pmean(grads, axis_name)
+    new_state = state.apply_gradients(grads=grads)
+    new_state = new_state.replace(batch_stats=new_batch_stats)
+    metrics = {"contrastive_loss": loss}
+    return new_state, metrics
+
+
+def make_train_step(
+    model,
+    cfg: ContrastiveConfig,
+    mesh: Mesh | None = None,
+    axis_name: str = DATA_AXIS,
+) -> Callable:
+    """Builds the jitted train step.
+
+    With a mesh: state replicated, batch sharded along ``axis_name``,
+    global-batch contrastive semantics. Without: plain single-device jit.
+    """
+    if mesh is None:
+        return jax.jit(partial(_step_fn, model=model, cfg=cfg, axis_name=None))
+
+    sharded = shard_map(
+        partial(_step_fn, model=model, cfg=cfg, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=(P(), P(axis_name)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_eval_step(
+    model,
+    cfg: ContrastiveConfig,
+    mesh: Mesh | None = None,
+    axis_name: str = DATA_AXIS,
+) -> Callable:
+    """Validation step: frozen BN, loss only."""
+
+    def eval_fn(state, batch, axis: str | None):
+        images = jnp.concatenate(
+            [batch["transformed_image1"], batch["transformed_image2"]], axis=0
+        )
+        _, proj = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images,
+            train=False,
+        )
+        loss, _ = contrastive_loss_from_projections(proj, batch, cfg, axis)
+        return {"contrastive_loss": loss}
+
+    if mesh is None:
+        return jax.jit(partial(eval_fn, axis=None))
+
+    sharded = shard_map(
+        partial(eval_fn, axis=axis_name),
+        mesh=mesh,
+        in_specs=(P(), P(axis_name)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -1,0 +1,136 @@
+"""Headline benchmark: pre-training throughput (images/sec/chip).
+
+Runs the full flagship train step — ResNet-50 @ 128x128, bf16, simhand_w
+global-batch weighted NT-Xent, LARS+Adam — on the attached chip(s) with
+synthetic device-resident data, and prints ONE JSON line:
+
+  {"metric": "pretrain_images_per_sec_per_chip", "value": N,
+   "unit": "img/s/chip", "vs_baseline": R}
+
+vs_baseline is measured throughput divided by the BASELINE.json target
+(90% of the ResNet-50 bf16 roofline on this chip), i.e. >= 1.0 meets the
+target. FLOPs/step are taken from XLA's own cost analysis of the compiled
+step (fwd+bwd+optimizer), so the roofline is exact for this program.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+# Published peak dense-bf16 TFLOP/s per chip.
+PEAK_BF16_TFLOPS = {
+    "v5 lite": 197.0,   # TPU v5e
+    "v5e": 197.0,
+    "v5p": 459.0,
+    "v4": 275.0,
+    "v6e": 918.0,  # Trillium
+    "v6 lite": 918.0,
+    "cpu": 0.5,    # nominal, so the script stays runnable off-TPU
+}
+
+
+def peak_tflops(device) -> float:
+    kind = getattr(device, "device_kind", "cpu").lower()
+    for key, val in PEAK_BF16_TFLOPS.items():
+        if key in kind:
+            return val
+    return PEAK_BF16_TFLOPS["cpu"]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from simhand_tpu.models import ContrastiveModel
+    from simhand_tpu.models.contrastive import ContrastiveConfig
+    from simhand_tpu.train import OptimizerConfig, create_train_state, make_train_step
+
+    per_chip_batch = int(os.environ.get("BENCH_BATCH", "256"))
+    side = int(os.environ.get("BENCH_SIDE", "128"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+
+    device = jax.devices()[0]
+
+    model = ContrastiveModel(resnet_size="50", dtype=jnp.bfloat16)
+    opt_cfg = OptimizerConfig(train_iters_per_epoch=1000, epochs=100, warmup_epochs=10)
+    state = create_train_state(
+        model, opt_cfg, jax.random.key(0), input_shape=(2, side, side, 3)
+    )
+    cfg = ContrastiveConfig(
+        experiment_type="simhand_w",
+        augmentation=("crop", "rotate", "resize"),
+        image_side=float(side),
+    )
+    step = make_train_step(model, cfg, mesh=None)
+
+    B = per_chip_batch
+    rng = np.random.default_rng(0)
+    batch = {
+        "transformed_image1": rng.normal(size=(B, side, side, 3)).astype(np.float32),
+        "transformed_image2": rng.normal(size=(B, side, side, 3)).astype(np.float32),
+        "jitter_x_1": rng.uniform(-10, 0, B).astype(np.float32),
+        "jitter_x_2": rng.uniform(-10, 0, B).astype(np.float32),
+        "jitter_y_1": rng.uniform(-10, 0, B).astype(np.float32),
+        "jitter_y_2": rng.uniform(-10, 0, B).astype(np.float32),
+        "angle_1": rng.uniform(-45, 45, B).astype(np.float32),
+        "angle_2": rng.uniform(-45, 45, B).astype(np.float32),
+        "joints1_aug": rng.uniform(0, side, (B, 21, 3)).astype(np.float32),
+        "joints2_aug": rng.uniform(0, side, (B, 21, 3)).astype(np.float32),
+        "joints1_ori": rng.uniform(0, 1, (B, 21, 3)).astype(np.float32),
+        "joints2_ori": rng.uniform(0, 1, (B, 21, 3)).astype(np.float32),
+    }
+    batch = {k: jax.device_put(jnp.asarray(v)) for k, v in batch.items()}
+
+    # Compile + warmup.
+    state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["contrastive_loss"])
+
+    # FLOPs of the compiled step from XLA cost analysis.
+    flops_per_step = None
+    try:
+        compiled = step.lower(state, batch).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops_per_step = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    if not flops_per_step:
+        # Analytic fallback: rn50 fwd ~= 4.1 GF @224^2, scaled to side^2,
+        # x3 for fwd+bwd, x2B images.
+        flops_per_step = 4.1e9 * (side / 224.0) ** 2 * 3 * 2 * B
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["contrastive_loss"])
+    dt = time.perf_counter() - t0
+
+    # Each step trains B pre-training samples (2B encoded images; the
+    # reference counts samples, not views).
+    images_per_sec = B * steps / dt
+
+    peak = peak_tflops(device) * 1e12
+    roofline_steps_per_sec = peak / flops_per_step
+    roofline_images_per_sec = roofline_steps_per_sec * B
+    target = 0.9 * roofline_images_per_sec
+    vs_baseline = images_per_sec / target if target > 0 else 0.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "pretrain_images_per_sec_per_chip",
+                "value": round(images_per_sec, 2),
+                "unit": "img/s/chip",
+                "vs_baseline": round(vs_baseline, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,187 @@
+"""Pre-training sample preparation and batching.
+
+``PretrainDataset`` routes each index through the experiment-type-specific
+prep (reference: src/data_loader/data_set.py:96-157), producing the batch
+dict consumed by the train step:
+
+  transformed_image{1,2} : float32 (H, W, 3), ImageNet-normalized
+  joints{1,2}_ori        : raw normalized keypoints x resize_shape
+  joints{1,2}_aug        : post-augmentation 2.5D joints
+  angle_{1,2}, jitter_{x,y}_{1,2} : per-view augment params
+
+Design split vs the reference:
+  * host side (this module): decode + crop + the cv2-exact augmentation
+    chain (parity path), or decode + crop only (device path, where
+    simhand_tpu.data.augment applies the fused augmentations on-TPU);
+  * the "_w" prep quirk where simclr/peclr preps scale the *anchor's*
+    joints twice in place (data_set.py:471-477,541-547) is NOT
+    reproduced — joints{1,2}_ori are the correct per-view raw joints, as
+    the simhand_w prep (:659-665) does.
+
+Loading is via a simple prefetching thread-pool loader (host work is
+pure numpy/cv2 and releases the GIL inside OpenCV), keeping the framework
+free of torch in the input path.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from simhand_tpu.data.augment_cv2 import (
+    AppliedParams,
+    AugmentFlags,
+    AugmentParams,
+    HostAugmenter,
+)
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+SIMILAR_PAIR_TYPES = {"simhand-base", "simhand", "simhand_w", "simhand_vis"}
+WEIGHTED_TYPES = {"simclr_w", "peclr_w", "simhand_w", "simhand_vis"}
+PARAM_TYPES = {"peclr", "peclr_w", "simhand-base", "simhand", "simhand_w", "simhand_vis"}
+
+
+def normalize_image(img_uint8: np.ndarray) -> np.ndarray:
+    """uint8 RGB -> float32 CHW-free (H, W, 3), ImageNet stats."""
+    x = img_uint8.astype(np.float32) / 255.0
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+class PretrainDataset:
+    """Index-addressable prepared samples for any experiment type."""
+
+    def __init__(
+        self,
+        source,
+        experiment_type: str,
+        flags: AugmentFlags,
+        params: AugmentParams,
+        seed: int = 0,
+    ):
+        self.source = source
+        self.experiment_type = experiment_type
+        self.augmenter = HostAugmenter(flags, params)
+        self.flags = flags
+        self.params = params
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return len(self.source)
+
+    def _rng(self, idx: int, epoch: int = 0) -> np.random.Generator:
+        return np.random.default_rng(
+            np.random.SeedSequence([self.seed, epoch, idx])
+        )
+
+    def _prep_view(self, sample: dict, rng, override_jitter):
+        img, j_aug, _, applied = self.augmenter.transform(
+            sample["image"],
+            sample["joints3D"],
+            rng,
+            override_angle=None,
+            override_jitter=override_jitter,
+        )
+        return normalize_image(img), j_aug, applied
+
+    def _ori_joints(self, sample: dict) -> np.ndarray:
+        j = sample["joints_raw"].copy()
+        j[:, 0] *= self.params.resize_shape[1]
+        j[:, 1] *= self.params.resize_shape[0]
+        return j
+
+    @staticmethod
+    def _param_dict(applied: AppliedParams, view: int) -> dict:
+        out = {}
+        for key in ("angle", "jitter_x", "jitter_y", "h", "s", "a", "b"):
+            v = getattr(applied, key)
+            if v is not None:
+                out[f"{key}_{view}"] = np.float32(v)
+        return out
+
+    def __getitem__(self, idx: int, epoch: int = 0) -> dict:
+        rng = self._rng(idx, epoch)
+        etype = self.experiment_type
+        anchor = self.source[idx]
+
+        if etype in SIMILAR_PAIR_TYPES:
+            positive = self.source[int(anchor["positive_sample_idx"])]
+        else:
+            positive = anchor
+
+        override_jitter = None if self.flags.crop else [0, 0]
+
+        img1, j1_aug, p1 = self._prep_view(anchor, rng, override_jitter)
+        img2, j2_aug, p2 = self._prep_view(positive, rng, override_jitter)
+
+        out = {"transformed_image1": img1, "transformed_image2": img2}
+        if etype in WEIGHTED_TYPES:
+            out["joints1_ori"] = self._ori_joints(anchor)
+            out["joints2_ori"] = self._ori_joints(positive)
+            out["joints1_aug"] = j1_aug.astype(np.float32)
+            out["joints2_aug"] = j2_aug.astype(np.float32)
+        if etype in PARAM_TYPES:
+            out.update(self._param_dict(p1, 1))
+            out.update(self._param_dict(p2, 2))
+        return out
+
+
+def _collate(samples: Sequence[dict]) -> dict:
+    keys = samples[0].keys()
+    return {k: np.stack([s[k] for s in samples]) for k in keys}
+
+
+def batch_iterator(
+    dataset: PretrainDataset,
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    epoch: int = 0,
+    num_threads: int = 8,
+    drop_last: bool = True,
+) -> Iterator[dict]:
+    """Prefetching threaded batch loader.
+
+    cv2 releases the GIL in its hot loops, so a thread pool gets close to
+    process-pool throughput without pickling overhead.
+    """
+    n = len(dataset)
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng([seed, epoch]).shuffle(order)
+    nb = n // batch_size if drop_last else -(-n // batch_size)
+
+    work: "queue.Queue[int]" = queue.Queue()
+    done: dict[int, dict] = {}
+    done_lock = threading.Condition()
+
+    for b in range(nb):
+        work.put(b)
+
+    def worker():
+        while True:
+            try:
+                b = work.get_nowait()
+            except queue.Empty:
+                return
+            idxs = order[b * batch_size : (b + 1) * batch_size]
+            batch = _collate([dataset.__getitem__(int(i), epoch) for i in idxs])
+            with done_lock:
+                done[b] = batch
+                done_lock.notify_all()
+
+    threads = [
+        threading.Thread(target=worker, daemon=True)
+        for _ in range(min(num_threads, nb) or 1)
+    ]
+    for t in threads:
+        t.start()
+
+    for b in range(nb):
+        with done_lock:
+            while b not in done:
+                done_lock.wait()
+            yield done.pop(b)

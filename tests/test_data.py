@@ -1,0 +1,151 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from simhand_tpu.data.annotations import load_hand100m
+from simhand_tpu.data.augment_cv2 import AugmentFlags, AugmentParams, HostAugmenter
+from simhand_tpu.data.pipeline import PretrainDataset, batch_iterator
+from simhand_tpu.data.sources import Hand100MSource, generate_synthetic_hand100m
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def synthetic_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("hand100m"))
+    generate_synthetic_hand100m(root, num_images=24, num_videos=4, side=256)
+    return root
+
+
+def test_synthetic_dataset_schema(synthetic_root):
+    path = os.path.join(
+        synthetic_root, "annotations", "100DOH", "Hand100M_100DOH_smoke_v1-1.json"
+    )
+    db = load_hand100m(path)
+    assert len(db) == 24
+    a = db.annotations[0]
+    assert set(a) >= {
+        "image_id", "hand_id", "boxes", "keypoint_25d",
+        "left_right", "positive_sample", "distance",
+    }
+    assert len(a["keypoint_25d"]) == 63
+    assert json.loads(a["boxes"]).__len__() == 4
+    # positives come from a different "video"
+    pos_idx = db.positive_index(0)
+    assert pos_idx != 0
+
+
+def test_hand100m_source_sample(synthetic_root):
+    src = Hand100MSource(synthetic_root, source="100doh", scale="smoke")
+    s = src[0]
+    assert s["image"].shape == (224, 224, 3)
+    assert s["image"].dtype == np.uint8
+    assert s["joints3D"].shape == (21, 3)
+    np.testing.assert_array_equal(s["joints3D"][:, 2], 1.0)  # pseudo depth
+    np.testing.assert_array_equal(s["K"], np.eye(3))
+    assert 0 <= s["positive_sample_idx"] < len(src)
+    # left hands flipped in normalized space too
+    if s["joints_raw"][0, 0] != src.db.keypoints(0)[0, 0]:
+        assert s["joints_raw"][0, 0] == pytest.approx(
+            1.0 - src.db.keypoints(0)[0, 0], abs=1e-6
+        )
+
+
+def default_flags(**kw):
+    base = dict(crop=True, resize=True, rotate=True)
+    base.update(kw)
+    return AugmentFlags(**base)
+
+
+def test_augmenter_geometry_only():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, size=(224, 224, 3), dtype=np.uint8)
+    joints = rng.uniform(60, 160, size=(21, 3)).astype(np.float32)
+    aug = HostAugmenter(AugmentFlags(crop=True, resize=True), AugmentParams())
+    out, j, T, applied = aug.transform(img, joints, np.random.default_rng(1))
+    assert out.shape == (128, 128, 3)
+    # transform matrix maps original joints to augmented joints
+    homo = np.concatenate([joints[:, :2], np.ones((21, 1))], axis=1)
+    mapped = homo @ T[:2].T
+    np.testing.assert_allclose(mapped, j[:, :2], atol=1e-3)
+    assert applied.jitter_x is not None and applied.jitter_x <= 0
+
+
+def test_augmenter_rotation_preserves_depth_and_tracks_joints():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, size=(224, 224, 3), dtype=np.uint8)
+    joints = rng.uniform(60, 160, size=(21, 3)).astype(np.float32)
+    aug = HostAugmenter(AugmentFlags(rotate=True, resize=False), AugmentParams())
+    out, j, T, applied = aug.transform(
+        img, joints, np.random.default_rng(3), override_angle=30.0
+    )
+    np.testing.assert_allclose(j[:, 2], joints[:, 2])  # depth untouched
+    # joints follow the cv2 rotation about the centroid
+    cx, cy = int(joints[:, 0].mean()), int(joints[:, 1].mean())
+    rot = cv2.getRotationMatrix2D((cx, cy), 30.0, 1.0)
+    homo = np.concatenate([joints[:, :2], np.ones((21, 1))], axis=1)
+    np.testing.assert_allclose(j[:, :2], homo @ rot.T, atol=1e-4)
+    assert applied.angle == 30.0
+
+
+def test_augmenter_color_ops_shapes():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 255, size=(128, 128, 3), dtype=np.uint8)
+    joints = rng.uniform(30, 100, size=(21, 3)).astype(np.float32)
+    flags = AugmentFlags(
+        color_jitter=True, color_drop=True, gaussian_blur=True,
+        gaussian_noise=True, cut_out=True, sobel_filter=True,
+        crop=False, resize=False, rotate=False,
+    )
+    aug = HostAugmenter(flags, AugmentParams())
+    out, j, _, applied = aug.transform(img, joints, np.random.default_rng(5))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert applied.h is not None  # color jitter always applies when flagged
+    np.testing.assert_allclose(j, joints)  # color ops leave joints alone
+
+
+@pytest.mark.parametrize("etype", ["simclr", "simhand_w", "peclr_w"])
+def test_pretrain_dataset_batches(synthetic_root, etype):
+    src = Hand100MSource(synthetic_root, source="100doh", scale="smoke")
+    ds = PretrainDataset(
+        src,
+        etype,
+        default_flags(color_jitter=True),
+        AugmentParams(),
+        seed=1,
+    )
+    it = batch_iterator(ds, batch_size=4, num_threads=2, epoch=0)
+    batch = next(it)
+    assert batch["transformed_image1"].shape == (4, 128, 128, 3)
+    assert batch["transformed_image1"].dtype == np.float32
+    if etype.endswith("_w"):
+        assert batch["joints1_ori"].shape == (4, 21, 3)
+        assert batch["joints2_aug"].shape == (4, 21, 3)
+    if etype != "simclr":
+        assert batch["angle_1"].shape == (4,)
+        assert batch["jitter_x_1"].shape == (4,)
+
+
+def test_pretrain_dataset_deterministic_per_seed(synthetic_root):
+    src = Hand100MSource(synthetic_root, source="100doh", scale="smoke")
+    ds = PretrainDataset(src, "simclr", default_flags(), AugmentParams(), seed=7)
+    a = ds.__getitem__(3, epoch=0)
+    b = ds.__getitem__(3, epoch=0)
+    np.testing.assert_array_equal(
+        a["transformed_image1"], b["transformed_image1"]
+    )
+    c = ds.__getitem__(3, epoch=1)
+    assert not np.array_equal(a["transformed_image1"], c["transformed_image1"])
+
+
+def test_simhand_pairs_use_mined_positive(synthetic_root):
+    src = Hand100MSource(synthetic_root, source="100doh", scale="smoke")
+    ds = PretrainDataset(src, "simhand_w", default_flags(), AugmentParams(), seed=2)
+    s = ds.__getitem__(0, epoch=0)
+    pos_idx = src[0]["positive_sample_idx"]
+    want = src[pos_idx]["joints_raw"].copy()
+    want[:, 0] *= 128
+    want[:, 1] *= 128
+    np.testing.assert_allclose(s["joints2_ori"], want, atol=1e-5)

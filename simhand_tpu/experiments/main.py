@@ -1,0 +1,238 @@
+"""Pre-training entry point.
+
+Reference-compatible CLI (src/experiments/main.py), TPU-native execution:
+
+  python -m simhand_tpu.experiments.main \
+      --experiment_type simhand_w --weight_type linear --diff_type mpjpe \
+      --pos_neg pos_neg --joints_type original \
+      --crop --resize --rotate --color_jitter \
+      -sources ego4d -sources 100doh --datasets_scale 2m \
+      -batch_size 8192 -epochs 100 -resnet_size 50
+
+The global batch is sharded over all attached TPU chips (1-D "data" ICI
+mesh); the contrastive loss sees the full 8192-sample negative set via
+all-gathered projections (unlike the reference's per-GPU "dp" shards).
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+
+import numpy as np
+
+logger = logging.getLogger("simhand_tpu")
+
+
+def build_sources(args, train_param):
+    """Instantiate sample sources from -sources flags."""
+    from simhand_tpu import constants
+    from simhand_tpu.data.sources import Hand100MSource
+
+    root = args.data_dir or constants.HAND2M_DATA
+    scale = args.datasets_scale or "1m"
+    sources = args.sources or ["ego4d"]
+    out = []
+    for s in sources:
+        if s in ("ego4d", "100doh"):
+            out.append(Hand100MSource(root, source=s, scale=scale))
+        elif s == "synthetic":
+            from simhand_tpu.data.sources import generate_synthetic_hand100m
+
+            synth_root = os.path.join(root, "synthetic")
+            anno = os.path.join(
+                synth_root, "annotations", "100DOH", "Hand100M_100DOH_smoke_v1-1.json"
+            )
+            if not os.path.exists(anno):
+                generate_synthetic_hand100m(synth_root, num_images=256, num_videos=16)
+            out.append(Hand100MSource(synth_root, source="100doh", scale="smoke"))
+        else:
+            raise NotImplementedError(
+                f"source {s!r} is a fine-tune-side dataset; use simhand_tpu.finetune"
+            )
+    if len(out) == 1:
+        return out[0]
+    from simhand_tpu.data.concat import ConcatSource
+
+    return ConcatSource(out)
+
+
+def main(argv=None):
+    from simhand_tpu.experiments.cli import get_general_args
+    from simhand_tpu.experiments import config as cfg_mod
+
+    args = get_general_args()
+
+    logging.basicConfig(
+        level=logging.DEBUG if args.debug else logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+    )
+
+    train_param = cfg_mod.read_json(cfg_mod.TRAINING_CONFIG_PATH)
+    train_param = cfg_mod.update_train_params(args, train_param)
+
+    seed = int(train_param["seed"])
+    np.random.seed(seed)
+
+    import jax
+    import jax.numpy as jnp
+
+    from simhand_tpu.data.augment_cv2 import AugmentFlags, AugmentParams
+    from simhand_tpu.data.pipeline import PretrainDataset, batch_iterator
+    from simhand_tpu.models import ContrastiveModel
+    from simhand_tpu.models.contrastive import ContrastiveConfig
+    from simhand_tpu.parallel import create_mesh
+    from simhand_tpu.parallel.mesh import replicate, shard_batch
+    from simhand_tpu.train import (
+        OptimizerConfig,
+        create_train_state,
+        make_train_step,
+    )
+    from simhand_tpu.train.checkpoint import CheckpointManager, export_torch_encoder
+    from simhand_tpu import constants
+
+    # ---------------- data ----------------
+    source = build_sources(args, train_param)
+    num_samples = len(source)
+    logger.info("dataset: %d samples", num_samples)
+
+    flags = AugmentFlags(
+        **{k: bool(v) for k, v in train_param["augmentation_flags"].items()}
+    )
+    ap = train_param["augmentation_params"]
+    params = AugmentParams(
+        crop_margin=ap["crop_margin"],
+        crop_margin_range=tuple(ap["crop_margin_range"]),
+        cut_out_fraction=tuple(ap["cut_out_fraction"]),
+        hue_factor_range=tuple(ap["hue_factor_range"]),
+        min_angle=min(ap["min_angle"], ap["max_angle"]),
+        max_angle=max(ap["min_angle"], ap["max_angle"]),
+        resize_shape=tuple(ap["resize_shape"]),
+        sat_factor_range=tuple(ap["sat_factor_range"]),
+        value_factor_alpha_range=tuple(ap["value_factor_alpha_range"]),
+        value_factor_beta_range=tuple(ap["value_factor_beta_range"]),
+        crop_box_jitter=tuple(ap["crop_box_jitter"]),
+        sobel_kernel=int(ap["sobel_kernel"]),
+        noise_std=float(ap["noise_std"]),
+    )
+    experiment_type = args.experiment_type or "simclr"
+    dataset = PretrainDataset(source, experiment_type, flags, params, seed=seed)
+
+    # ---------------- model ----------------
+    model_param = cfg_mod.read_json(cfg_mod.model_config_path(experiment_type))
+    model_param = cfg_mod.update_model_params(
+        model_param, args, num_samples, train_param
+    )
+
+    batch_size = int(train_param["batch_size"])
+    accum = int(train_param.get("accumulate_grad_batches", 1))
+    iters_per_epoch = max(num_samples // batch_size, 1)
+    epochs = int(train_param["epochs"])
+
+    model = ContrastiveModel(
+        resnet_size=str(model_param["resnet_size"]),
+        proj_hidden_dim=int(model_param["projection_head_hidden_dim"]),
+        proj_output_dim=int(model_param["output_dim"]),
+        dtype=jnp.bfloat16 if str(train_param.get("precision")) in ("16", "bf16") else jnp.float32,
+    )
+    opt_cfg = OptimizerConfig(
+        lr=float(model_param["lr"]),
+        weight_decay=float(model_param["opt_weight_decay"]),
+        optimizer=str(model_param["optimizer"]),
+        warmup_epochs=int(model_param["warmup_epochs"]),
+        epochs=int(model_param.get("lr_max_epochs") or epochs),
+        accumulate_grad_batches=accum,
+        train_iters_per_epoch=iters_per_epoch,
+    )
+    side = int(params.resize_shape[0])
+    rng = jax.random.key(seed)
+    state = create_train_state(model, opt_cfg, rng, input_shape=(2, side, side, 3))
+    logger.info(
+        "model rn%s, base lr %.3e, %d iters/epoch",
+        model_param["resnet_size"], opt_cfg.base_lr, iters_per_epoch,
+    )
+
+    ccfg = ContrastiveConfig(
+        experiment_type=experiment_type,
+        augmentation=tuple(model_param["augmentation"]),
+        image_side=float(side),
+        weight_type=str(model_param.get("weight_type", "linear")),
+        diff_type=str(model_param.get("diff_type", "mpjpe")),
+        pos_neg=str(model_param.get("pos_neg", "pos_neg")),
+        joints_type=str(model_param.get("joints_type", "aug")),
+        use_pca=bool(model_param.get("use_pca", False)),
+        non_linear_lambda_pos=float(model_param.get("non_linear_lambda_pos", 5.0)),
+        non_linear_lambda_neg=float(model_param.get("non_linear_lambda_neg", 0.05)),
+    )
+
+    mesh = create_mesh() if len(jax.devices()) > 1 else None
+    step_fn = make_train_step(model, ccfg, mesh=mesh)
+    if mesh is not None:
+        state = replicate(mesh, state)
+
+    # ---------------- checkpointing ----------------
+    exp_name = args.experiment_name or cfg_mod.prepare_name(
+        f"{experiment_type}_", train_param
+    )
+    ckpt_dir = os.path.join(constants.SAVED_MODELS_BASE_PATH, exp_name, "checkpoints")
+    manager = CheckpointManager(ckpt_dir, save_top_k=int(args.save_top_k))
+    if args.resume:
+        restored = manager.restore(state)
+        if restored is not None:
+            state = restored
+            logger.info("resumed from step %s", manager.latest_step())
+
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+
+    # ---------------- train loop ----------------
+    global_step = 0
+    max_steps = args.max_steps
+    num_workers = int(train_param.get("num_workers", 8))
+    stop = False
+    for epoch in range(epochs):
+        if stop:
+            break
+        epoch_losses = []
+        t_epoch = time.time()
+        for batch in batch_iterator(
+            dataset, batch_size, seed=seed, epoch=epoch, num_threads=num_workers
+        ):
+            if mesh is not None:
+                batch = shard_batch(mesh, batch)
+            state, metrics = step_fn(state, batch)
+            global_step += 1
+            if args.log_interval == "step":
+                logger.info(
+                    "step %d loss %.5f", global_step,
+                    float(metrics["contrastive_loss"]),
+                )
+            else:
+                epoch_losses.append(metrics["contrastive_loss"])
+            if max_steps is not None and global_step >= max_steps:
+                stop = True
+                break
+        if epoch_losses:
+            mean_loss = float(np.mean([float(l) for l in epoch_losses]))
+        else:
+            mean_loss = float(metrics["contrastive_loss"])
+        dt = time.time() - t_epoch
+        logger.info(
+            "epoch %d: contrastive_loss %.5f (%.1fs, %.1f img/s)",
+            epoch, mean_loss, dt, batch_size * max(len(epoch_losses), 1) / dt,
+        )
+        manager.save(global_step, jax.device_get(state), {"contrastive_loss": mean_loss})
+
+    manager.wait()
+    if args.profile_dir:
+        jax.profiler.stop_trace()
+
+    if args.export_torch:
+        export_torch_encoder(jax.device_get(state), args.export_torch)
+        logger.info("exported torch encoder to %s", args.export_torch)
+    manager.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()

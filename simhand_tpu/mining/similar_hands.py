@@ -1,0 +1,167 @@
+"""Similar-hand mining: sharded on-device top-k pose search.
+
+The reference ships only precomputed pairing JSONs (SURVEY.md §2.1 — the
+mining itself is absent from the repo; the paper §3 defines the metric as
+MPJPE over detected 2D keypoints, restricted to hands from *other*
+videos). This module implements it as a TPU job:
+
+  * the 2M x 21 x 2 keypoint corpus lives in HBM once (~340 MB f32);
+  * queries are sharded over the "data" mesh axis;
+  * each device streams database chunks through a fused
+    distance-computation + running-top-k `lax.scan` — peak memory is one
+    (q_chunk, db_chunk) plane, compute is VPU-bound per-joint
+    accumulation;
+  * same-video candidates (and self) are masked to +inf.
+
+Output plugs straight into the Hand100M v1-1 annotation schema
+(``positive_sample`` / ``distance`` fields).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def _chunk_distances(q: Array, db: Array) -> Array:
+    """(Q, 21, 2) x (C, 21, 2) -> (Q, C) MPJPE matrix, joint-tiled."""
+    Q, C = q.shape[0], db.shape[0]
+
+    def body(j, acc):
+        dx = q[:, j, 0][:, None] - db[:, j, 0][None, :]
+        dy = q[:, j, 1][:, None] - db[:, j, 1][None, :]
+        return acc + jnp.sqrt(dx * dx + dy * dy)
+
+    acc = jax.lax.fori_loop(0, q.shape[1], body, jnp.zeros((Q, C), q.dtype))
+    return acc / q.shape[1]
+
+
+@partial(jax.jit, static_argnames=("k", "db_chunk"))
+def topk_similar(
+    queries: Array,          # (Q, 21, 2)
+    query_vids: Array,       # (Q,) int32 video ids
+    query_ids: Array,        # (Q,) int32 global indices (for self-mask)
+    db: Array,               # (N, 21, 2)
+    db_vids: Array,          # (N,) int32
+    k: int = 1,
+    db_chunk: int = 8192,
+):
+    """Top-k most-similar other-video hands for each query.
+
+    Returns (distances (Q, k), db_indices (Q, k)).
+    """
+    Q = queries.shape[0]
+    N = db.shape[0]
+    pad = (-N) % db_chunk
+    if pad:
+        db = jnp.concatenate([db, jnp.full((pad,) + db.shape[1:], 1e9, db.dtype)])
+        db_vids = jnp.concatenate([db_vids, jnp.full((pad,), -2, db_vids.dtype)])
+    n_chunks = db.shape[0] // db_chunk
+
+    db = db.reshape(n_chunks, db_chunk, *db.shape[1:])
+    db_vids_c = db_vids.reshape(n_chunks, db_chunk)
+
+    init = (
+        jnp.full((Q, k), jnp.inf, queries.dtype),
+        jnp.full((Q, k), -1, jnp.int32),
+    )
+
+    def scan_body(carry, inputs):
+        best_d, best_i = carry
+        chunk_idx, chunk, vids = inputs
+        d = _chunk_distances(queries, chunk)                     # (Q, C)
+        col_ids = chunk_idx * db_chunk + jnp.arange(db_chunk)[None, :]
+        same_video = query_vids[:, None] == vids[None, :]
+        is_self = query_ids[:, None] == col_ids
+        d = jnp.where(same_video | is_self, jnp.inf, d)
+        # merge with running best: top-k of the concatenation.
+        cat_d = jnp.concatenate([best_d, d], axis=1)
+        cat_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(col_ids, d.shape).astype(jnp.int32)], axis=1
+        )
+        neg_top, pos = jax.lax.top_k(-cat_d, k)
+        new_i = jnp.take_along_axis(cat_i, pos, axis=1)
+        return (-neg_top, new_i), None
+
+    (best_d, best_i), _ = jax.lax.scan(
+        scan_body,
+        init,
+        (jnp.arange(n_chunks), db, db_vids_c),
+    )
+    return best_d, best_i
+
+
+def mine_similar_hands(
+    keypoints: np.ndarray,    # (N, 21, 2) normalized 2D keypoints
+    video_ids: np.ndarray,    # (N,) int
+    k: int = 1,
+    query_chunk: int = 4096,
+    db_chunk: int = 8192,
+    mesh=None,
+    progress: bool = False,
+):
+    """Full-corpus mining: every hand paired with its k most-similar hands
+    from other videos.
+
+    With a mesh, query chunks are sharded over the "data" axis (the
+    database is replicated in each device's HBM). Returns
+    (distances (N, k), indices (N, k)) as numpy arrays.
+    """
+    N = keypoints.shape[0]
+    kp = jnp.asarray(keypoints, jnp.float32)
+    vids = jnp.asarray(video_ids, jnp.int32)
+
+    fn = topk_similar
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        fn = jax.jit(
+            shard_map(
+                partial(topk_similar, k=k, db_chunk=db_chunk),
+                mesh=mesh,
+                in_specs=(P("data"), P("data"), P("data"), P(), P()),
+                out_specs=(P("data"), P("data")),
+                check_vma=False,
+            )
+        )
+
+    all_d, all_i = [], []
+    n_dev = 1 if mesh is None else mesh.devices.size
+    step = query_chunk * n_dev
+    for start in range(0, N, step):
+        stop = min(start + step, N)
+        q = kp[start:stop]
+        qv = vids[start:stop]
+        qi = jnp.arange(start, stop, dtype=jnp.int32)
+        # pad to a multiple of n_dev for even sharding
+        pad = (-q.shape[0]) % n_dev
+        if pad:
+            q = jnp.concatenate([q, jnp.zeros((pad, 21, 2), q.dtype)])
+            qv = jnp.concatenate([qv, jnp.full((pad,), -3, qv.dtype)])
+            qi = jnp.concatenate([qi, jnp.full((pad,), -3, qi.dtype)])
+        if mesh is None:
+            d, i = topk_similar(q, qv, qi, kp, vids, k=k, db_chunk=db_chunk)
+        else:
+            d, i = fn(q, qv, qi, kp, vids)
+        d, i = np.asarray(d), np.asarray(i)
+        if pad:
+            d, i = d[:-pad], i[:-pad]
+        all_d.append(d)
+        all_i.append(i)
+        if progress:
+            print(f"mined {stop}/{N}", flush=True)
+    return np.concatenate(all_d), np.concatenate(all_i)
+
+
+def attach_positives(annotations: list[dict], distances: np.ndarray,
+                     indices: np.ndarray) -> list[dict]:
+    """Writes mining results into annotation dicts (v1-1 schema fields)."""
+    for a, d_row, i_row in zip(annotations, distances, indices):
+        a["positive_sample"] = [int(annotations[j]["hand_id"]) for j in i_row]
+        a["distance"] = [float(x) for x in d_row]
+    return annotations

@@ -1,0 +1,66 @@
+import numpy as np
+import pytest
+
+from simhand_tpu.mining import mine_similar_hands, topk_similar
+from simhand_tpu.mining.run import video_ids_from_annotations
+
+
+def brute_force(kp, vids, k):
+    N = kp.shape[0]
+    d = np.linalg.norm(kp[:, None] - kp[None, :], axis=-1).mean(-1)
+    d[vids[:, None] == vids[None, :]] = np.inf  # includes self
+    idx = np.argsort(d, axis=1)[:, :k]
+    return np.take_along_axis(d, idx, axis=1), idx
+
+
+@pytest.mark.parametrize("k", [1, 3])
+def test_topk_matches_brute_force(k):
+    rng = np.random.default_rng(0)
+    N = 64
+    kp = rng.uniform(0, 1, size=(N, 21, 2)).astype(np.float32)
+    vids = rng.integers(0, 6, size=N).astype(np.int32)
+    want_d, want_i = brute_force(kp, vids, k)
+
+    got_d, got_i = mine_similar_hands(kp, vids, k=k, query_chunk=16, db_chunk=16)
+    np.testing.assert_allclose(got_d, want_d, rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(got_i, want_i)
+
+
+def test_topk_sharded_matches_brute_force():
+    import jax
+    from simhand_tpu.parallel import create_mesh
+
+    rng = np.random.default_rng(1)
+    N = 64
+    kp = rng.uniform(0, 1, size=(N, 21, 2)).astype(np.float32)
+    vids = rng.integers(0, 8, size=N).astype(np.int32)
+    want_d, want_i = brute_force(kp, vids, 2)
+
+    mesh = create_mesh()
+    got_d, got_i = mine_similar_hands(
+        kp, vids, k=2, query_chunk=4, db_chunk=16, mesh=mesh
+    )
+    np.testing.assert_allclose(got_d, want_d, rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(got_i, want_i)
+
+
+def test_excludes_same_video_and_self():
+    rng = np.random.default_rng(2)
+    N = 32
+    kp = rng.uniform(0, 1, size=(N, 21, 2)).astype(np.float32)
+    vids = (np.arange(N) // 8).astype(np.int32)  # 4 videos
+    d, i = mine_similar_hands(kp, vids, k=1, query_chunk=8, db_chunk=8)
+    for q in range(N):
+        assert i[q, 0] != q
+        assert vids[i[q, 0]] != vids[q]
+
+
+def test_video_ids_from_paths():
+    images = [
+        {"id": 0, "file_name": "frames/vidA/frame_000000.jpg"},
+        {"id": 1, "file_name": "frames/vidA/frame_000030.jpg"},
+        {"id": 2, "file_name": "frames/vidB/frame_000000.jpg"},
+    ]
+    annotations = [{"image_id": 0}, {"image_id": 1}, {"image_id": 2}]
+    vids = video_ids_from_annotations(images, annotations)
+    assert vids[0] == vids[1] != vids[2]

@@ -1,0 +1,229 @@
+"""Fine-tune datasets and the training-sample pipeline.
+
+``FreiHand`` reads the official FreiHAND release layout
+(training/rgb/%08d.jpg + training_{xyz,K,scale}.json), with the reference's
+x4 green-screen replication on the train split
+(minimal-hand/datasets/freihand.py:52-110). ``SyntheticPoseDataset``
+provides a file-free stand-in with identical sample schema for tests.
+
+``DetnetSampleBuilder`` converts a raw sample (image + kp2d + optional 3D
+joints + K) into detnet training targets, replicating
+minimal-hand/datasets/handataset.py:244-390:
+  center/scale jitter (±0.1), rotation (±pi), affine crop to 128x128,
+  gaussian heatmaps sigma=1 @ 32x32, location/delta maps, blur+color
+  jitter, normalize(mean 0.5, std 1).
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from simhand_tpu.finetune.maps import gen_heatmaps, joint_maps
+
+INP_RES = 128
+HM_RES = 32
+
+
+# --------------------------------------------------------------------------
+# affine helpers (reference: minimal-hand/utils/handutils.py:364-430)
+# --------------------------------------------------------------------------
+
+def get_affine_trans_no_rot(center, scale, res):
+    m = np.zeros((3, 3), np.float32)
+    m[0, 0] = float(res[1]) / scale
+    m[1, 1] = float(res[0]) / scale
+    m[0, 2] = res[1] * (-float(center[0]) / scale + 0.5)
+    m[1, 2] = res[0] * (-float(center[1]) / scale + 0.5)
+    m[2, 2] = 1
+    return m
+
+
+def get_affine_transform(center, scale, res, rot=0.0):
+    rot_mat = np.zeros((3, 3), np.float32)
+    sn, cs = np.sin(rot), np.cos(rot)
+    rot_mat[0, :2] = [cs, -sn]
+    rot_mat[1, :2] = [sn, cs]
+    rot_mat[2, 2] = 1
+    origin_rot_center = rot_mat.dot(list(center) + [1])[:2]
+    post_rot_trans = get_affine_trans_no_rot(origin_rot_center, scale, res)
+    return post_rot_trans.dot(rot_mat), rot_mat
+
+
+def transform_coords(pts, affine):
+    hom = np.concatenate([pts, np.ones((len(pts), 1))], axis=1)
+    return (affine.dot(hom.T).T)[:, :2]
+
+
+def transform_img_cv2(img: np.ndarray, affine: np.ndarray, res) -> np.ndarray:
+    import cv2
+
+    return cv2.warpAffine(img, affine[:2].astype(np.float32), (res[1], res[0]))
+
+
+# --------------------------------------------------------------------------
+# datasets
+# --------------------------------------------------------------------------
+
+class FreiHand:
+    """Official FreiHAND layout. Sample: image path + K + xyz + kp2d."""
+
+    def __init__(self, root_dir: str, split: str = "train",
+                 train_ratio: float = 0.8, replicate: bool = True):
+        self.root = root_dir
+        with open(os.path.join(root_dir, "training_K.json")) as f:
+            self.K = np.asarray(json.load(f), np.float32)
+        with open(os.path.join(root_dir, "training_xyz.json")) as f:
+            self.xyz = np.asarray(json.load(f), np.float32)
+        n = len(self.xyz)
+        split_idx = int(n * train_ratio)
+        base = np.arange(split_idx) if split == "train" else np.arange(split_idx, n)
+        if split == "train" and replicate:
+            # x4: original + 3 green-screen-composited versions share labels
+            self.indices = np.concatenate([base + k * n for k in range(4)])
+        else:
+            self.indices = base
+        self.n_unique = n
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i: int) -> dict:
+        import cv2
+
+        idx = int(self.indices[i])
+        label_idx = idx % self.n_unique
+        img = cv2.cvtColor(
+            cv2.imread(os.path.join(self.root, "training", "rgb", f"{idx:08d}.jpg")),
+            cv2.COLOR_BGR2RGB,
+        )
+        K = self.K[label_idx]
+        xyz = self.xyz[label_idx]
+        kp2d = (K @ xyz.T).T
+        kp2d = kp2d[:, :2] / kp2d[:, 2:]
+        return {"image": img, "K": K, "joint": xyz, "kp2d": kp2d.astype(np.float32)}
+
+
+class SyntheticPoseDataset:
+    """File-free dataset with the FreiHand sample schema (tests/smoke)."""
+
+    def __init__(self, n: int = 32, side: int = 224, seed: int = 0):
+        self.n = n
+        self.side = side
+        self.seed = seed
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i: int) -> dict:
+        rng = np.random.default_rng([self.seed, i])
+        xyz = rng.uniform(-0.05, 0.05, (21, 3)).astype(np.float32)
+        xyz[:, 2] += 0.5
+        K = np.array(
+            [[400.0, 0, self.side / 2], [0, 400.0, self.side / 2], [0, 0, 1]],
+            np.float32,
+        )
+        kp2d = (K @ xyz.T).T
+        kp2d = (kp2d[:, :2] / kp2d[:, 2:]).astype(np.float32)
+        img = rng.integers(0, 255, (self.side, self.side, 3), dtype=np.uint8)
+        return {"image": img, "K": K, "joint": xyz, "kp2d": kp2d}
+
+
+# --------------------------------------------------------------------------
+# sample builder
+# --------------------------------------------------------------------------
+
+class DetnetSampleBuilder:
+    def __init__(
+        self,
+        train: bool = True,
+        inp_res: int = INP_RES,
+        hm_res: int = HM_RES,
+        sigma: float = 1.0,
+        center_jitter: float = 0.1,
+        scale_jitter: float = 0.1,
+        max_rot: float = np.pi,
+        crop_scale: float = 2.2,
+    ):
+        self.train = train
+        self.inp_res = inp_res
+        self.hm_res = hm_res
+        self.sigma = sigma
+        self.center_jitter = center_jitter
+        self.scale_jitter = scale_jitter
+        self.max_rot = max_rot
+        self.crop_scale = crop_scale
+
+    def __call__(self, sample: dict, rng: np.random.Generator) -> dict:
+        kp2d = sample["kp2d"]
+        center = 0.5 * (kp2d.min(axis=0) + kp2d.max(axis=0))
+        scale = self.crop_scale * np.max(kp2d.max(axis=0) - kp2d.min(axis=0))
+
+        if self.train:
+            center = center + (
+                self.center_jitter * scale * rng.uniform(-1, 1, 2)
+            ).astype(int)
+            sj = np.clip(
+                self.scale_jitter * rng.standard_normal() + 1,
+                1 - self.scale_jitter,
+                1 + self.scale_jitter,
+            )
+            scale = scale * sj
+            rot = rng.uniform(-self.max_rot, self.max_rot)
+        else:
+            rot = 0.0
+
+        affine, rot_mat = get_affine_transform(
+            center, scale, [self.inp_res, self.inp_res], rot
+        )
+        kp2d_t = transform_coords(kp2d, affine)
+
+        hm, veil = gen_heatmaps(kp2d_t, self.inp_res, self.hm_res, self.sigma)
+
+        out = {
+            "hm": hm,
+            "hm_veil": veil,
+            "flag_3d": np.float32(0.0),
+            "dm": np.zeros((self.hm_res, self.hm_res, 21, 3), np.float32),
+            "lm": np.zeros((self.hm_res, self.hm_res, 21, 3), np.float32),
+            "kp2d": kp2d_t.astype(np.float32),
+        }
+        if "joint" in sample and sample["joint"] is not None:
+            joint = rot_mat[:3, :3].dot(sample["joint"].T).T
+            lm, dm, root, bone = joint_maps(joint, self.hm_res)
+            out.update(
+                {
+                    "lm": lm,
+                    "dm": dm,
+                    "flag_3d": np.float32(1.0),
+                    "joint": joint.astype(np.float32),
+                    "joint_root": root.astype(np.float32),
+                    "joint_bone": bone,
+                }
+            )
+
+        img = transform_img_cv2(sample["image"], affine, [self.inp_res, self.inp_res])
+        img = img.astype(np.float32) / 255.0 - 0.5  # normalize(0.5, 1)
+        out["img"] = img
+        return out
+
+
+def detnet_batch_iterator(dataset, builder: DetnetSampleBuilder, batch_size: int,
+                          seed: int = 0, epoch: int = 0, shuffle: bool = True):
+    n = len(dataset)
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng([seed, epoch]).shuffle(order)
+    for b in range(n // batch_size):
+        idxs = order[b * batch_size : (b + 1) * batch_size]
+        samples = []
+        for i in idxs:
+            rng = np.random.default_rng([seed, epoch, int(i)])
+            samples.append(builder(dataset[int(i)], rng))
+        keys = [k for k in samples[0] if k not in ("joint", "joint_root", "joint_bone")]
+        batch = {k: np.stack([s[k] for s in samples]) for k in keys}
+        if "joint" in samples[0]:
+            for k in ("joint", "joint_root", "joint_bone"):
+                batch[k] = np.stack([s[k] for s in samples])
+        yield batch

@@ -1,0 +1,155 @@
+"""Evaluation: EPE / PCK / AUC and batched Procrustes alignment.
+
+Replicates both reference evaluators:
+  * minimal-hand's EvalUtil (utils/eval/zimeval.py) — per-joint distance
+    store -> EPE mean/median, PCK curve, trapezoid AUC;
+  * src/experiments/evaluation_utils.py — PCK curves on thresholds
+    0..0.5 step 0.005, per-joint AUC, batched SVD Procrustes.
+
+Vectorized numpy / jnp, no per-sample Python loops.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+class EvalUtil:
+    """Accumulates per-joint euclidean distances; reference-shaped output."""
+
+    def __init__(self, num_kp: int = 21):
+        self.num_kp = num_kp
+        self._dists: list[np.ndarray] = []
+        self._vis: list[np.ndarray] = []
+
+    def feed(self, keypoint_gt, keypoint_pred, keypoint_vis=None):
+        gt = np.asarray(keypoint_gt, np.float64)
+        pr = np.asarray(keypoint_pred, np.float64)
+        if gt.ndim == 2:
+            gt, pr = gt[None], pr[None]
+        if keypoint_vis is None:
+            vis = np.ones(gt.shape[:2], bool)
+        else:
+            vis = np.asarray(keypoint_vis).astype(bool).reshape(gt.shape[:2])
+        d = np.sqrt(np.sum((gt - pr) ** 2, axis=-1))
+        self._dists.append(d)
+        self._vis.append(vis)
+
+    def _stacked(self):
+        return np.concatenate(self._dists), np.concatenate(self._vis)
+
+    def get_measures(self, val_min: float, val_max: float, steps: int):
+        """(epe_mean_all, epe_mean_joint, epe_median_all, auc_all,
+        pck_curve_all, thresholds) — zimeval.py:90-139 contract."""
+        d, vis = self._stacked()
+        thresholds = np.linspace(val_min, val_max, steps)
+        norm = np.trapz(np.ones_like(thresholds), thresholds)
+
+        epe_mean_joint, epe_median, aucs, pcks = [], [], [], []
+        for k in range(self.num_kp):
+            dk = d[:, k][vis[:, k]]
+            if dk.size == 0:
+                continue
+            epe_mean_joint.append(dk.mean())
+            epe_median.append(np.median(dk))
+            curve = np.stack([(dk <= t).mean() for t in thresholds])
+            pcks.append(curve)
+            aucs.append(np.trapz(curve, thresholds) / norm)
+        return (
+            float(np.mean(epe_mean_joint)),
+            epe_mean_joint,
+            float(np.mean(epe_median)),
+            float(np.mean(aucs)),
+            np.mean(np.stack(pcks), axis=0),
+            thresholds,
+        )
+
+
+def epe_statistics(pred: np.ndarray, gt: np.ndarray, dim: int = 3) -> dict:
+    """Mean/median EPE over (N, 21, dim) joints."""
+    d = np.sqrt(np.sum((pred[..., :dim] - gt[..., :dim]) ** 2, axis=-1))
+    return {
+        "mean": float(d.mean()),
+        "median": float(np.median(d)),
+        "eucledian_dist": d,
+    }
+
+
+def pck_curve(
+    dists: np.ndarray,
+    threshold_min: float = 0.0,
+    threshold_max: float = 0.5,
+    step: float = 0.005,
+    per_joint: bool = False,
+):
+    """PCK over a threshold sweep (evaluation_utils.py:230-270: strict <)."""
+    thresholds = np.arange(threshold_min, threshold_max, step)
+    under = dists[None, ...] < thresholds.reshape(-1, *([1] * dists.ndim))
+    if per_joint:
+        curve = under.mean(axis=1).T  # (21, T)
+    else:
+        curve = under.reshape(len(thresholds), -1).mean(axis=1)
+    return curve, thresholds
+
+
+def auc_joints(dists: np.ndarray, per_joint: bool = True):
+    """AUC of the 0..0.5/0.005 PCK curve (evaluation_utils.py:273-301)."""
+    curves, thresholds = pck_curve(dists, 0.0, 0.5, 0.005, per_joint=True)
+    norm = np.trapz(np.ones(len(thresholds)), thresholds)
+    auc = np.trapz(curves, thresholds, axis=-1) / norm
+    return auc if per_joint else float(auc.mean())
+
+
+def procrustes_align(X: Array, Y: Array):
+    """Batched similarity-transform alignment of Y onto X.
+
+    minimizes ||s * Y @ R + t - X||_F (evaluation_utils.py:304-351).
+
+    Args:
+      X: (B, N, 3) targets; Y: (B, N, 3) points to align.
+
+    Returns:
+      (Y_aligned, R, scale, translation)
+    """
+    X = jnp.asarray(X, jnp.float32)
+    Y = jnp.asarray(Y, jnp.float32)
+    muX = X.mean(axis=1, keepdims=True)
+    muY = Y.mean(axis=1, keepdims=True)
+    X0, Y0 = X - muX, Y - muY
+    normX = jnp.linalg.norm(X0, axis=(1, 2), keepdims=True)
+    normY = jnp.linalg.norm(Y0, axis=(1, 2), keepdims=True)
+    X0n, Y0n = X0 / normX, Y0 / normY
+
+    A = jnp.einsum("bnp,bnk->bpk", X0n, Y0n)
+    U, s, Vt = jnp.linalg.svd(A)
+    V = jnp.swapaxes(Vt, 1, 2)
+    det = jnp.linalg.det(jnp.einsum("bik,bjk->bij", V, U))
+    sign = jnp.sign(det)[:, None]
+    V = V.at[:, :, -1].multiply(sign)
+    s = s.at[:, -1].multiply(sign[:, 0])
+    R = jnp.einsum("bik,bjk->bij", V, U)
+
+    scale_ratio = s.sum(axis=1).reshape(-1, 1, 1)
+    scale = scale_ratio * normX / normY
+    translation = muX - scale * jnp.einsum("bnk,bkp->bnp", muY, R)
+    Y_aligned = normX * scale_ratio * jnp.einsum("bnk,bkp->bnp", Y0n, R) + muX
+    return Y_aligned, R, scale, translation
+
+
+def align_by_root_and_scale(
+    pred: np.ndarray, gt: np.ndarray, root_idx: int = 9,
+    ref_bone=(9, 10),
+) -> np.ndarray:
+    """Global alignment used by minimal-hand eval (utils/align.py): shift
+    prediction to the gt root and rescale by one reference bone length."""
+    pred = pred - pred[:, root_idx : root_idx + 1]
+    gt_rel = gt - gt[:, root_idx : root_idx + 1]
+    a, b = ref_bone
+    pred_len = np.linalg.norm(pred[:, a] - pred[:, b], axis=-1, keepdims=True)
+    gt_len = np.linalg.norm(gt_rel[:, a] - gt_rel[:, b], axis=-1, keepdims=True)
+    scale = (gt_len / np.maximum(pred_len, 1e-12))[:, :, None]
+    return pred * scale + gt[:, root_idx : root_idx + 1]

@@ -1,0 +1,205 @@
+"""detnet fine-tune trainer (the reference documents `train_detnet.py`
+in minimal-hand/README.md:19-27 but the file is absent from its tree —
+this is the reconstructed equivalent, TPU-native).
+
+  python -m simhand_tpu.finetune.train \
+      --dataset freihand --data_dir /data/freihand \
+      --backbone 50 --pretrain /path/resnet50_simhand.pth \
+      --epochs 120 --batch_size 128
+
+Supports SiMHand / torchvision .pth encoder init via the torch-port
+module, data-parallel sharding over the TPU mesh, and EPE/AUC evaluation.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+from functools import partial
+
+import numpy as np
+
+logger = logging.getLogger("simhand_tpu.finetune")
+
+
+def make_detnet_train_step(model, tx, mesh=None, axis_name="data"):
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from simhand_tpu.finetune.detloss import det_loss
+
+    def step(state, batch, axis):
+        def loss_fn(params):
+            preds, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["img"],
+                train=True,
+                mutable=["batch_stats"],
+            )
+            total, parts = det_loss(
+                preds, batch["hm"], batch["dm"], batch["lm"],
+                batch["hm_veil"], batch["flag_3d"],
+            )
+            return total, (parts, mutated["batch_stats"])
+
+        (loss, (parts, stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        if axis is not None:
+            grads = jax.lax.pmean(grads, axis)
+            parts = jax.tree.map(lambda x: jax.lax.pmean(x, axis), parts)
+        state = state.apply_gradients(grads=grads).replace(batch_stats=stats)
+        return state, parts
+
+    if mesh is None:
+        return jax.jit(partial(step, axis=None))
+    return jax.jit(
+        shard_map(
+            partial(step, axis=axis_name),
+            mesh=mesh,
+            in_specs=(P(), P(axis_name)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+
+
+def evaluate_detnet(model, state, dataset, builder, batch_size=64):
+    """Root-relative scale-normalized 3D EPE/AUC over a dataset."""
+    import jax
+
+    from simhand_tpu.finetune.datasets import detnet_batch_iterator
+    from simhand_tpu.finetune.evaluation import EvalUtil
+
+    apply = jax.jit(
+        lambda params, stats, img: model.apply(
+            {"params": params, "batch_stats": stats}, img, train=False
+        )
+    )
+    evaluator = EvalUtil()
+    for batch in detnet_batch_iterator(
+        dataset, builder, batch_size, shuffle=False
+    ):
+        if "joint" not in batch:
+            continue
+        preds = apply(state.params, state.batch_stats, batch["img"])
+        xyz = np.asarray(preds["xyz"])  # root-relative, bone-normalized
+        gt = batch["joint"]
+        root = batch["joint_root"][:, None]
+        bone = batch["joint_bone"].reshape(-1, 1, 1)
+        gt_norm = (gt - root) / bone
+        evaluator.feed(gt_norm.reshape(-1, 21, 3), xyz.reshape(-1, 21, 3))
+    epe_mean, _, epe_median, auc, _, _ = evaluator.get_measures(0.0, 0.05, 20)
+    return {"epe_mean": epe_mean, "epe_median": epe_median, "auc": auc}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", default="synthetic",
+                   choices=["freihand", "synthetic"])
+    p.add_argument("--data_dir", default=None)
+    p.add_argument("--backbone", default="50", choices=["50", "152"])
+    p.add_argument("--pretrain", default=None,
+                   help="torch .pth encoder init (SiMHand or torchvision)")
+    p.add_argument("--epochs", type=int, default=120)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr_decay_step", type=int, default=50)
+    p.add_argument("--lr_decay_gamma", type=float, default=0.1)
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--eval_every", type=int, default=10)
+    p.add_argument("--out_dir", default="/tmp/detnet")
+    args = p.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from simhand_tpu.finetune.datasets import (
+        DetnetSampleBuilder,
+        FreiHand,
+        SyntheticPoseDataset,
+        detnet_batch_iterator,
+    )
+    from simhand_tpu.finetune.detnet import DetNet
+    from simhand_tpu.parallel import create_mesh
+    from simhand_tpu.parallel.mesh import replicate, shard_batch
+    from simhand_tpu.train.state import TrainState
+
+    if args.dataset == "freihand":
+        train_ds = FreiHand(args.data_dir, "train")
+        val_ds = FreiHand(args.data_dir, "val")
+    else:
+        train_ds = SyntheticPoseDataset(n=max(args.batch_size * 2, 64))
+        val_ds = SyntheticPoseDataset(n=64, seed=1)
+
+    model = DetNet(resnet_size=args.backbone, dtype=jnp.bfloat16)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 128, 128, 3)))
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    if args.pretrain:
+        from simhand_tpu.train.torch_port import load_torch_checkpoint
+
+        enc_params, enc_stats = load_torch_checkpoint(args.pretrain)
+        params = dict(params)
+        params["encoder"] = enc_params
+        batch_stats = dict(batch_stats)
+        batch_stats["encoder"] = enc_stats
+        logger.info("initialized encoder from %s", args.pretrain)
+
+    steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
+    schedule = optax.exponential_decay(
+        args.lr, args.lr_decay_step * steps_per_epoch,
+        args.lr_decay_gamma, staircase=True,
+    )
+    tx = optax.adam(schedule)
+    state = TrainState.create(
+        apply_fn=model.apply, params=params, tx=tx, batch_stats=batch_stats
+    )
+
+    mesh = create_mesh() if len(jax.devices()) > 1 else None
+    step_fn = make_detnet_train_step(model, tx, mesh=mesh)
+    if mesh is not None:
+        state = replicate(mesh, state)
+
+    builder = DetnetSampleBuilder(train=True)
+    val_builder = DetnetSampleBuilder(train=False)
+
+    global_step = 0
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        losses = []
+        for batch in detnet_batch_iterator(
+            train_ds, builder, args.batch_size, epoch=epoch
+        ):
+            batch = {k: jnp.asarray(v) for k, v in batch.items()
+                     if k in ("img", "hm", "dm", "lm", "hm_veil", "flag_3d")}
+            if mesh is not None:
+                batch = shard_batch(mesh, batch)
+            state, parts = step_fn(state, batch)
+            losses.append(float(parts["det_total"]))
+            global_step += 1
+            if args.max_steps and global_step >= args.max_steps:
+                break
+        logger.info(
+            "epoch %d: det_total %.4f (%.1fs)",
+            epoch, float(np.mean(losses)), time.time() - t0,
+        )
+        if (epoch + 1) % args.eval_every == 0 or epoch == args.epochs - 1:
+            metrics = evaluate_detnet(model, state, val_ds, val_builder,
+                                      args.batch_size)
+            logger.info("eval @ epoch %d: %s", epoch, metrics)
+        if args.max_steps and global_step >= args.max_steps:
+            break
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    return state
+
+
+if __name__ == "__main__":
+    main()

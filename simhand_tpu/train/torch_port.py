@@ -164,7 +164,10 @@ def save_torch_checkpoint(path: str, params: dict, batch_stats: dict) -> None:
     import torch
 
     sd = encoder_to_torch_state_dict(params, batch_stats)
-    torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}, path)
+    torch.save(
+        {k: torch.from_numpy(np.ascontiguousarray(v).copy()) for k, v in sd.items()},
+        path,
+    )
 
 
 def load_torch_checkpoint(path: str) -> tuple[dict, dict]:

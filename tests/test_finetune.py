@@ -1,0 +1,185 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simhand_tpu.finetune.datasets import (
+    DetnetSampleBuilder,
+    SyntheticPoseDataset,
+    detnet_batch_iterator,
+    get_affine_transform,
+    transform_coords,
+)
+from simhand_tpu.finetune.detloss import det_loss
+from simhand_tpu.finetune.detnet import DetNet, gather_at_argmax, map_to_uv, pose_tile
+from simhand_tpu.finetune.evaluation import (
+    EvalUtil,
+    auc_joints,
+    epe_statistics,
+    pck_curve,
+    procrustes_align,
+)
+from simhand_tpu.finetune.maps import gen_heatmaps, joint_maps, SNAP_PARENT
+
+
+def test_pose_tile_matches_reference_layout():
+    t = np.asarray(pose_tile(2, 32))
+    assert t.shape == (2, 32, 32, 2)
+    # ch0 varies across width, ch1 across height, both -1..1
+    np.testing.assert_allclose(t[0, 0, :, 0], np.linspace(-1, 1, 32), rtol=1e-6)
+    np.testing.assert_allclose(t[0, :, 0, 1], np.linspace(-1, 1, 32), rtol=1e-6)
+
+
+def test_map_to_uv_and_gather():
+    rng = np.random.default_rng(0)
+    hmap = jnp.asarray(rng.uniform(size=(2, 32, 32, 21)).astype(np.float32))
+    uv, onehot = map_to_uv(hmap)
+    h = np.asarray(hmap)
+    for b in range(2):
+        for j in range(21):
+            idx = h[b, :, :, j].reshape(-1).argmax()
+            assert uv[b, j, 0] == idx // 32 and uv[b, j, 1] == idx % 32
+    vmap = jnp.asarray(rng.normal(size=(2, 32, 32, 21, 3)).astype(np.float32))
+    got = np.asarray(gather_at_argmax(vmap, onehot))
+    v = np.asarray(vmap)
+    for b in range(2):
+        for j in range(21):
+            idx = h[b, :, :, j].reshape(-1).argmax()
+            r, c = idx // 32, idx % 32
+            np.testing.assert_allclose(got[b, j], v[b, r, c, j], rtol=1e-6)
+
+
+def test_detnet_shapes():
+    model = DetNet(resnet_size="50")
+    x = jnp.zeros((2, 128, 128, 3))
+    variables = model.init(jax.random.key(0), x)
+    out = model.apply(variables, x)
+    assert out["h_map"].shape == (2, 32, 32, 21)
+    assert out["d_map"].shape == (2, 32, 32, 21, 3)
+    assert out["l_map"].shape == (2, 32, 32, 21, 3)
+    assert out["xyz"].shape == (2, 21, 3)
+    assert out["uv"].shape == (2, 21, 2)
+
+
+def test_heatmap_generation_matches_reference_semantics():
+    hm, veil = gen_heatmaps(np.array([[64.0, 64.0]] * 21, np.float32), 128, 32, 1.0)
+    assert hm.shape == (32, 32, 21) and veil.shape == (21,)
+    assert veil.all()
+    # peak at the scaled coord (64/128*32 = 16)
+    assert hm[16, 16, 0] == pytest.approx(1.0)
+    # out-of-bounds keypoint -> zero map, veil 0
+    hm2, veil2 = gen_heatmaps(np.array([[500.0, 500.0]] * 21, np.float32), 128, 32)
+    assert not veil2.any() and hm2.sum() == 0
+
+
+def test_joint_maps_normalization():
+    rng = np.random.default_rng(1)
+    joint = rng.normal(size=(21, 3)).astype(np.float64)
+    loc, delta, root, bone = joint_maps(joint, 32)
+    assert loc.shape == (32, 32, 21, 3)
+    np.testing.assert_allclose(root, joint[9])
+    np.testing.assert_allclose(bone, np.linalg.norm(joint[9] - joint[0]), rtol=1e-6)
+    # location map reproduces normalized joints at every pixel
+    want = (joint - joint[9]) / bone
+    np.testing.assert_allclose(loc[0, 0], want, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(loc[31, 31], want, rtol=1e-4, atol=1e-6)
+    # delta vectors are unit length (except root)
+    norms = np.linalg.norm(delta[0, 0], axis=-1)
+    np.testing.assert_allclose(norms[1:], 1.0, rtol=1e-4)
+    # kinematic chain directions
+    for i in range(1, 21):
+        d = want[i] - want[SNAP_PARENT[i]]
+        np.testing.assert_allclose(
+            delta[0, 0, i], d / np.linalg.norm(d), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_det_loss_runs_and_masks_2d_only():
+    rng = np.random.default_rng(2)
+    n = 4
+    preds = {
+        "h_map": jnp.asarray(rng.uniform(size=(n, 32, 32, 21)).astype(np.float32)),
+        "d_map": jnp.asarray(rng.normal(size=(n, 32, 32, 21, 3)).astype(np.float32)),
+        "l_map": jnp.asarray(rng.normal(size=(n, 32, 32, 21, 3)).astype(np.float32)),
+    }
+    hm = jnp.asarray(rng.uniform(size=(n, 32, 32, 21)).astype(np.float32))
+    dm = jnp.asarray(rng.normal(size=(n, 32, 32, 21, 3)).astype(np.float32))
+    lm = jnp.asarray(rng.normal(size=(n, 32, 32, 21, 3)).astype(np.float32))
+    veil = jnp.ones((n, 21), jnp.float32)
+
+    total_all, parts_all = det_loss(preds, hm, dm, lm, veil, jnp.ones(n))
+    total_none, parts_none = det_loss(preds, hm, dm, lm, veil, jnp.zeros(n))
+    assert float(parts_none["det_dm"]) == 0.0
+    assert float(parts_none["det_lm"]) == 0.0
+    assert float(parts_all["det_dm"]) > 0
+    assert float(parts_all["det_hm"]) == pytest.approx(
+        float(parts_none["det_hm"])
+    )
+
+
+def test_affine_transform_round_trip():
+    center = np.array([100.0, 120.0])
+    affine, _ = get_affine_transform(center, 200.0, [128, 128], rot=0.3)
+    pts = np.array([[100.0, 120.0], [150.0, 120.0]])
+    out = transform_coords(pts, affine)
+    # center maps to image center
+    np.testing.assert_allclose(out[0], [64.0, 64.0], atol=1e-4)
+    # distances scale by res/scale
+    d = np.linalg.norm(out[1] - out[0])
+    assert d == pytest.approx(50.0 * 128 / 200.0, rel=1e-5)
+
+
+def test_sample_builder_and_batching():
+    ds = SyntheticPoseDataset(n=8)
+    builder = DetnetSampleBuilder(train=True)
+    batch = next(detnet_batch_iterator(ds, builder, batch_size=4, epoch=0))
+    assert batch["img"].shape == (4, 128, 128, 3)
+    assert batch["hm"].shape == (4, 32, 32, 21)
+    assert batch["dm"].shape == (4, 32, 32, 21, 3)
+    assert batch["flag_3d"].all()
+    assert batch["img"].min() >= -0.5 - 1e-6 and batch["img"].max() <= 0.5 + 1e-6
+
+
+def test_evalutil_matches_reference_contract():
+    rng = np.random.default_rng(3)
+    gt = rng.normal(size=(10, 21, 3))
+    pred = gt + rng.normal(scale=0.01, size=(10, 21, 3))
+    ev = EvalUtil()
+    for i in range(10):
+        ev.feed(gt[i], pred[i])
+    epe_mean, per_joint, epe_median, auc, curve, thr = ev.get_measures(0, 0.05, 20)
+    d = np.linalg.norm(gt - pred, axis=-1)
+    assert epe_mean == pytest.approx(d.mean(axis=0).mean(), rel=1e-6)
+    assert len(per_joint) == 21
+    assert 0.0 < auc <= 1.0
+    assert curve.shape == (20,)
+
+
+def test_pck_auc_match_manual():
+    rng = np.random.default_rng(4)
+    d = np.abs(rng.normal(scale=0.1, size=(50, 21)))
+    curve, thr = pck_curve(d)
+    assert curve.shape == (100,)
+    t10 = thr[10]
+    assert curve[10] == pytest.approx((d < t10).mean())
+    a = auc_joints(d, per_joint=False)
+    assert 0 < a < 1
+
+
+def test_procrustes_recovers_similarity_transform():
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(3, 21, 3)).astype(np.float32)
+    # random rotation via QR
+    Q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    if np.linalg.det(Q) < 0:
+        Q[:, 0] *= -1
+    Y = 0.5 * X @ Q.T + rng.normal(size=(1, 1, 3)).astype(np.float32)
+    Y_aligned, R, scale, t = procrustes_align(jnp.asarray(X), jnp.asarray(Y))
+    np.testing.assert_allclose(np.asarray(Y_aligned), X, rtol=1e-3, atol=1e-4)
+
+
+def test_epe_statistics():
+    gt = np.zeros((5, 21, 3))
+    pred = np.ones((5, 21, 3)) * np.array([3, 4, 0]) / 5  # dist 1 each
+    s = epe_statistics(pred, gt)
+    assert s["mean"] == pytest.approx(1.0)

@@ -85,9 +85,10 @@ def main():
     }
     batch = {k: jax.device_put(jnp.asarray(v)) for k, v in batch.items()}
 
-    # Compile + warmup.
+    # Compile + warmup (also forces a real result fetch — on remote-tunnel
+    # backends block_until_ready alone does not synchronize).
     state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["contrastive_loss"])
+    _ = float(metrics["contrastive_loss"])
 
     # FLOPs of the compiled step from XLA cost analysis.
     flops_per_step = None
@@ -104,15 +105,44 @@ def main():
         # x3 for fwd+bwd, x2B images.
         flops_per_step = 4.1e9 * (side / 224.0) ** 2 * 3 * 2 * B
 
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["contrastive_loss"])
-    dt = time.perf_counter() - t0
+    # Timing: K chained steps inside ONE jitted lax.scan, synchronized by
+    # fetching the loss vector. Two K values cancel the constant host<->
+    # device round-trip, isolating pure device step time.
+    from simhand_tpu.train.loop import _step_fn
+    from simhand_tpu.models.contrastive import (
+        contrastive_loss_from_projections,  # noqa: F401 (keep import local)
+    )
+    from functools import partial
+
+    def multi(k):
+        @jax.jit
+        def run(state, batch):
+            def body(s, _):
+                s2, m = _step_fn(s, batch, model=model, cfg=cfg, axis_name=None)
+                return s2, m["contrastive_loss"]
+            _, losses = jax.lax.scan(body, state, None, length=k)
+            return losses
+        return run
+
+    k_small, k_big = max(steps // 4, 2), steps
+    run_small, run_big = multi(k_small), multi(k_big)
+    # compile both, force fetch
+    _ = np.asarray(run_small(state, batch))
+    _ = np.asarray(run_big(state, batch))
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        out = np.asarray(fn(state, batch))
+        assert np.all(np.isfinite(out))
+        return time.perf_counter() - t0
+
+    t_small = min(timed(run_small) for _ in range(3))
+    t_big = min(timed(run_big) for _ in range(3))
+    step_time = max((t_big - t_small) / (k_big - k_small), 1e-9)
 
     # Each step trains B pre-training samples (2B encoded images; the
     # reference counts samples, not views).
-    images_per_sec = B * steps / dt
+    images_per_sec = B / step_time
 
     peak = peak_tflops(device) * 1e12
     roofline_steps_per_sec = peak / flops_per_step

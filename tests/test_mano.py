@@ -1,0 +1,139 @@
+"""MANO / AIK / ShapeNet tests on synthetic MANO parameters (the official
+assets are not redistributable; the math is validated structurally:
+identity pose == rest pose, rigid equivariance, IK round trips)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simhand_tpu.finetune.aik import adaptive_ik, axangle2mat
+from simhand_tpu.finetune.mano import ManoModel, relative_bone_lengths
+from simhand_tpu.finetune.shape_net import ShapeNet, pso_fit_shape, sik_loss
+from simhand_tpu.finetune.smoother import OneEuroFilter
+
+
+def synthetic_mano(seed=0):
+    """Small random—but kinematically sane—MANO parameter set."""
+    rng = np.random.default_rng(seed)
+    n_v = 778
+    # skeleton: wrist at origin, 15 joints spread forward
+    joints = np.zeros((16, 3))
+    parents = np.array([0, 0, 1, 2, 0, 4, 5, 0, 7, 8, 0, 10, 11, 0, 13, 14])
+    for j in range(1, 16):
+        joints[j] = joints[parents[j]] + rng.uniform(0.02, 0.04, 3)
+    # vertices clustered around joints
+    assign = rng.integers(0, 16, n_v)
+    verts = joints[assign] + rng.normal(scale=0.01, size=(n_v, 3))
+    # regressor: averages the verts assigned to each joint
+    J_reg = np.zeros((16, n_v))
+    for j in range(16):
+        members = np.where(assign == j)[0]
+        J_reg[j, members] = 1.0 / len(members)
+    # force exact joints at rest: adjust template so J_reg @ v == joints
+    weights = np.zeros((n_v, 16), np.float32)
+    weights[np.arange(n_v), assign] = 1.0
+    kintree = np.zeros((2, 16), np.int64)
+    kintree[0] = parents
+    d = {
+        "v_template": verts.astype(np.float32),
+        "shapedirs": rng.normal(scale=0.001, size=(n_v, 3, 10)).astype(np.float32),
+        "posedirs": rng.normal(scale=0.0001, size=(n_v, 3, 135)).astype(np.float32),
+        "J_regressor": J_reg.astype(np.float32),
+        "weights": weights,
+        "kintree_table": kintree,
+    }
+    return ManoModel(params=d)
+
+
+@pytest.fixture(scope="module")
+def mano():
+    return synthetic_mano()
+
+
+def identity_pose(b=1):
+    return jnp.broadcast_to(jnp.eye(3), (b, 16, 3, 3))
+
+
+def test_identity_pose_reproduces_rest(mano):
+    beta = jnp.zeros((1, 10))
+    verts, joints21 = mano(identity_pose(), beta)
+    rest_joints = mano.shaped_joints(beta)
+    np.testing.assert_allclose(
+        np.asarray(joints21[:, :16]), np.asarray(rest_joints), atol=2e-4
+    )
+    # zero pose blend: verts == template (+ shape blend of zero beta)
+    np.testing.assert_allclose(
+        np.asarray(verts[0]), np.asarray(mano.v_template), atol=2e-4
+    )
+
+
+def test_global_rotation_equivariance(mano):
+    beta = jnp.zeros((1, 10))
+    R = jnp.asarray(axangle2mat(np.array([0.0, 0.0, 1.0]), 0.7), jnp.float32)
+    pose = identity_pose().at[:, 0].set(R)
+    verts_rot, joints_rot = mano(pose, beta)
+    verts_id, joints_id = mano(identity_pose(), beta)
+    # wrist (joint 0) pivot is the origin of the rotation
+    pivot = np.asarray(joints_id[0, 0])
+    want = (np.asarray(joints_id[0]) - pivot) @ np.asarray(R).T + pivot
+    np.testing.assert_allclose(np.asarray(joints_rot[0]), want, atol=1e-3)
+
+
+def test_relative_bone_lengths_shape_and_ref_norm(mano):
+    beta = jnp.zeros((2, 10))
+    bl = relative_bone_lengths(mano, beta)
+    assert bl.shape == (2, 15)
+    assert np.all(np.asarray(bl) > 0)
+
+
+def test_aik_roundtrip_on_mano_skeleton(mano):
+    """IK(FK(pose)) reproduces the posed joints through MANO."""
+    beta = jnp.zeros((1, 10))
+    _, template21 = mano(identity_pose(), beta)
+    template21 = np.asarray(template21[0])
+
+    rng = np.random.default_rng(3)
+    # random-ish global rotation only (swing-only IK is exact there)
+    R = axangle2mat(rng.normal(size=3), 0.5)
+    pose = identity_pose().at[:, 0].set(jnp.asarray(R, jnp.float32))
+    _, target = mano(pose, beta)
+    target = np.asarray(target[0])
+
+    pose_rec = adaptive_ik(template21, target)
+    _, rec = mano(jnp.asarray(pose_rec, jnp.float32), beta)
+    np.testing.assert_allclose(np.asarray(rec[0]), target, atol=5e-3)
+
+
+def test_axangle2mat_is_rotation():
+    R = axangle2mat(np.array([1.0, 2.0, 3.0]), 1.1)
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-10)
+    assert np.linalg.det(R) == pytest.approx(1.0)
+
+
+def test_shape_net_forward_and_loss(mano):
+    model = ShapeNet()
+    bones = jnp.ones((4, 15)) * 0.5
+    variables = model.init(jax.random.key(0), bones)
+    beta = model.apply(variables, bones)
+    assert beta.shape == (4, 10)
+    assert np.all(np.abs(np.asarray(beta)) <= 1.0)  # tanh bound
+    loss, bone_hat = sik_loss(mano, beta, bones)
+    assert np.isfinite(float(loss))
+    assert bone_hat.shape == (4, 15)
+
+
+def test_pso_fits_known_shape(mano):
+    rng = np.random.default_rng(5)
+    beta_true = rng.uniform(-1, 1, 10).astype(np.float32)
+    target = np.asarray(relative_bone_lengths(mano, jnp.asarray(beta_true)[None]))[0]
+    beta_fit = pso_fit_shape(mano, target, n_particles=60, n_iters=25, seed=1)
+    got = np.asarray(relative_bone_lengths(mano, jnp.asarray(beta_fit)[None]))[0]
+    assert np.abs(got - target).max() < 0.05
+
+
+def test_one_euro_filter_smooths():
+    f = OneEuroFilter(mincutoff=1.0, beta=0.0, freq=30.0)
+    rng = np.random.default_rng(6)
+    signal = np.sin(np.linspace(0, 4, 120)) + 0.2 * rng.standard_normal(120)
+    smooth = np.array([f.process(np.array([s]))[0] for s in signal])
+    assert np.var(np.diff(smooth)) < np.var(np.diff(signal))

@@ -34,7 +34,7 @@ import dataclasses
 import numpy as np
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class AugmentFlags:
     color_drop: bool = False
     color_jitter: bool = False
@@ -48,7 +48,7 @@ class AugmentFlags:
     sobel_filter: bool = False
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class AugmentParams:
     crop_margin: float = 1.25
     crop_margin_range: tuple = (0.9, 1.5)

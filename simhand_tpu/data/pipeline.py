@@ -102,6 +102,24 @@ class PretrainDataset:
                 out[f"{key}_{view}"] = np.float32(v)
         return out
 
+    def raw_pair(self, idx: int) -> dict:
+        """Device-augmentation path: undecoded work only — both views'
+        uint8 crops + pixel joints + normalized raw joints. Augmentation
+        happens inside the train step (data.augment.prepare_views)."""
+        anchor = self.source[idx]
+        if self.experiment_type in SIMILAR_PAIR_TYPES:
+            positive = self.source[int(anchor["positive_sample_idx"])]
+        else:
+            positive = anchor
+        return {
+            "image1": anchor["image"],
+            "image2": positive["image"],
+            "joints1": anchor["joints3D"].astype(np.float32),
+            "joints2": positive["joints3D"].astype(np.float32),
+            "joints_raw1": anchor["joints_raw"].astype(np.float32),
+            "joints_raw2": positive["joints_raw"].astype(np.float32),
+        }
+
     def __getitem__(self, idx: int, epoch: int = 0) -> dict:
         rng = self._rng(idx, epoch)
         etype = self.experiment_type
@@ -142,6 +160,7 @@ def batch_iterator(
     epoch: int = 0,
     num_threads: int = 8,
     drop_last: bool = True,
+    raw: bool = False,
 ) -> Iterator[dict]:
     """Prefetching threaded batch loader.
 
@@ -168,7 +187,10 @@ def batch_iterator(
             except queue.Empty:
                 return
             idxs = order[b * batch_size : (b + 1) * batch_size]
-            batch = _collate([dataset.__getitem__(int(i), epoch) for i in idxs])
+            if raw:
+                batch = _collate([dataset.raw_pair(int(i)) for i in idxs])
+            else:
+                batch = _collate([dataset.__getitem__(int(i), epoch) for i in idxs])
             with done_lock:
                 done[b] = batch
                 done_lock.notify_all()

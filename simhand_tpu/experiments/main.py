@@ -166,7 +166,8 @@ def main(argv=None):
     )
 
     mesh = create_mesh() if len(jax.devices()) > 1 else None
-    step_fn = make_train_step(model, ccfg, mesh=mesh)
+    augment = (flags, params, side) if args.device_augment else None
+    step_fn = make_train_step(model, ccfg, mesh=mesh, augment=augment)
     if mesh is not None:
         state = replicate(mesh, state)
 
@@ -196,7 +197,8 @@ def main(argv=None):
         epoch_losses = []
         t_epoch = time.time()
         for batch in batch_iterator(
-            dataset, batch_size, seed=seed, epoch=epoch, num_threads=num_workers
+            dataset, batch_size, seed=seed, epoch=epoch,
+            num_threads=num_workers, raw=args.device_augment,
         ):
             if mesh is not None:
                 batch = shard_batch(mesh, batch)

@@ -34,8 +34,30 @@ from simhand_tpu.models.contrastive import (
 from simhand_tpu.parallel.mesh import DATA_AXIS
 
 
-def _step_fn(state, batch, model, cfg: ContrastiveConfig, axis_name: str | None):
-    """One SGD step on a (possibly per-device) batch shard."""
+def _step_fn(
+    state,
+    batch,
+    model,
+    cfg: ContrastiveConfig,
+    axis_name: str | None,
+    augment=None,
+):
+    """One SGD step on a (possibly per-device) batch shard.
+
+    With ``augment=(flags, params, out_size)``, ``batch`` is a *raw* host
+    batch (uint8 crops + joints; see data.augment.prepare_views) and both
+    views are augmented on-device inside this jit program — the
+    production input path.
+    """
+    if augment is not None:
+        from simhand_tpu.data.augment import prepare_views
+
+        flags, params, out_size = augment
+        key = jax.random.fold_in(jax.random.key(0), state.step)
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        batch = prepare_views(batch, key, flags, params, out_size)
+
     images = jnp.concatenate(
         [batch["transformed_image1"], batch["transformed_image2"]], axis=0
     )
@@ -66,17 +88,23 @@ def make_train_step(
     cfg: ContrastiveConfig,
     mesh: Mesh | None = None,
     axis_name: str = DATA_AXIS,
+    augment=None,
 ) -> Callable:
     """Builds the jitted train step.
 
     With a mesh: state replicated, batch sharded along ``axis_name``,
     global-batch contrastive semantics. Without: plain single-device jit.
+    With ``augment=(AugmentFlags, AugmentParams, out_size)``: the step
+    consumes raw uint8 crop batches and fuses the augmentation chain into
+    the compiled program.
     """
     if mesh is None:
-        return jax.jit(partial(_step_fn, model=model, cfg=cfg, axis_name=None))
+        return jax.jit(
+            partial(_step_fn, model=model, cfg=cfg, axis_name=None, augment=augment)
+        )
 
     sharded = shard_map(
-        partial(_step_fn, model=model, cfg=cfg, axis_name=axis_name),
+        partial(_step_fn, model=model, cfg=cfg, axis_name=axis_name, augment=augment),
         mesh=mesh,
         in_specs=(P(), P(axis_name)),
         out_specs=(P(), P()),

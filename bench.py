@@ -65,8 +65,6 @@ def main():
         augmentation=("crop", "rotate", "resize"),
         image_side=float(side),
     )
-    step = make_train_step(model, cfg, mesh=None)
-
     B = per_chip_batch
     rng = np.random.default_rng(0)
     batch = {
@@ -85,34 +83,13 @@ def main():
     }
     batch = {k: jax.device_put(jnp.asarray(v)) for k, v in batch.items()}
 
-    # Compile + warmup (also forces a real result fetch — on remote-tunnel
-    # backends block_until_ready alone does not synchronize).
-    state, metrics = step(state, batch)
-    _ = float(metrics["contrastive_loss"])
-
-    # FLOPs of the compiled step from XLA cost analysis.
-    flops_per_step = None
-    try:
-        compiled = step.lower(state, batch).compile()
-        cost = compiled.cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        flops_per_step = float(cost.get("flops", 0.0)) or None
-    except Exception:
-        pass
-    if not flops_per_step:
-        # Analytic fallback: rn50 fwd ~= 4.1 GF @224^2, scaled to side^2,
-        # x3 for fwd+bwd, x2B images.
-        flops_per_step = 4.1e9 * (side / 224.0) ** 2 * 3 * 2 * B
-
     # Timing: K chained steps inside ONE jitted lax.scan, synchronized by
-    # fetching the loss vector. Two K values cancel the constant host<->
-    # device round-trip, isolating pure device step time.
+    # fetching the loss vector (on remote-tunnel backends
+    # block_until_ready alone does not synchronize — only a data fetch
+    # does). Two K values cancel the constant host<->device round trip,
+    # isolating pure device step time. Only these two programs are
+    # compiled; FLOPs come from the big scan's own XLA cost analysis.
     from simhand_tpu.train.loop import _step_fn
-    from simhand_tpu.models.contrastive import (
-        contrastive_loss_from_projections,  # noqa: F401 (keep import local)
-    )
-    from functools import partial
 
     def multi(k):
         @jax.jit
@@ -126,7 +103,22 @@ def main():
 
     k_small, k_big = max(steps // 4, 2), steps
     run_small, run_big = multi(k_small), multi(k_big)
-    # compile both, force fetch
+
+    flops_per_step = None
+    try:
+        compiled_big = run_big.lower(state, batch).compile()
+        cost = compiled_big.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops_per_step = (float(cost.get("flops", 0.0)) / k_big) or None
+    except Exception:
+        pass
+    if not flops_per_step:
+        # Analytic fallback: rn50 fwd ~= 4.1 GF @224^2, scaled to side^2,
+        # x3 for fwd+bwd, x2B images.
+        flops_per_step = 4.1e9 * (side / 224.0) ** 2 * 3 * 2 * B
+
+    # compile + warm both, force fetch
     _ = np.asarray(run_small(state, batch))
     _ = np.asarray(run_big(state, batch))
 

@@ -102,6 +102,39 @@ class PretrainDataset:
                 out[f"{key}_{view}"] = np.float32(v)
         return out
 
+    def _supervised(self, sample: dict, rng) -> dict:
+        """Supervised 2.5D sample (reference: data_set.py:360-411):
+        convert to 2.5D, augment image+joints, update K by the accumulated
+        transform, recreate 3D for a consistency reference."""
+        from simhand_tpu.core import geometry
+        import jax.numpy as jnp
+
+        K = np.asarray(sample["K"], np.float32)
+        j25, scale = geometry.convert_to_2_5d(
+            jnp.asarray(K), jnp.asarray(sample["joints3D"])
+        )
+        j25 = np.asarray(j25)
+        img, j25_aug, T, _ = self.augmenter.transform(
+            sample["image"], j25, rng
+        )
+        K_new = T.astype(np.float32) @ K
+        j3d_recreated = np.asarray(
+            geometry.convert_2_5d_to_3d(
+                jnp.asarray(j25_aug), scale, jnp.asarray(K_new)
+            )
+        )
+        return {
+            "image": normalize_image(img),
+            "joints": j25_aug.astype(np.float32),
+            "joints3D": np.asarray(sample["joints3D"], np.float32),
+            "K": K_new,
+            "scale": np.float32(scale),
+            "joints3D_recreated": j3d_recreated.astype(np.float32),
+            "joints_valid": np.asarray(sample["joints_valid"], np.float32),
+            "joints_raw": np.asarray(sample["joints_raw"], np.float32),
+            "T": T.astype(np.float32),
+        }
+
     def raw_pair(self, idx: int) -> dict:
         """Device-augmentation path: undecoded work only — both views'
         uint8 crops + pixel joints + normalized raw joints. Augmentation
@@ -124,6 +157,9 @@ class PretrainDataset:
         rng = self._rng(idx, epoch)
         etype = self.experiment_type
         anchor = self.source[idx]
+
+        if etype == "supervised":
+            return self._supervised(anchor, rng)
 
         if etype in SIMILAR_PAIR_TYPES:
             positive = self.source[int(anchor["positive_sample_idx"])]

@@ -1,0 +1,64 @@
+"""YouTube3DHands pre-training source.
+
+Reference: src/data_loader/youtube_loader.py (YTB_DB): COCO-style
+youtube_train.json whose annotations carry 778-vertex MANO meshes; 21
+joints are recovered as J_regressor-weighted vertices + 5 fingertip
+vertices (src/data_loader/utils.py:372-390), then reordered mano->ait.
+
+The 16x778 regressor matrix ships with MANO; here it is taken from a
+ManoModel instance (gated on the MANO asset like everything MANO-side).
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from simhand_tpu.core.joints import JointMap
+from simhand_tpu.finetune.mano import TIP_VERTEX_IDS
+
+_JM = JointMap()
+
+
+class YoutubeSource:
+    def __init__(self, root_dir: str, split: str = "train",
+                 mano_regressor: np.ndarray | None = None):
+        self.root = root_dir
+        with open(os.path.join(root_dir, f"youtube_{split}.json")) as f:
+            data = json.load(f)
+        self.images = {img["id"]: img for img in data["images"]}
+        self.annotations = data["annotations"]
+        if mano_regressor is None:
+            raise ValueError(
+                "YoutubeSource needs the MANO 16x778 J_regressor "
+                "(pass ManoModel(pkl).J_regressor)"
+            )
+        self.regressor = np.asarray(mano_regressor, np.float32)
+
+    def __len__(self) -> int:
+        return len(self.annotations)
+
+    def joints_from_mesh(self, vertices: np.ndarray) -> np.ndarray:
+        joints16 = self.regressor @ vertices
+        tips = vertices[list(TIP_VERTEX_IDS)]
+        return np.concatenate([joints16, tips], axis=0)
+
+    def __getitem__(self, idx: int) -> dict:
+        import cv2
+
+        a = self.annotations[idx]
+        img_rec = self.images[a["image_id"]]
+        img_name = os.path.join(self.root, img_rec["name"])
+        img = cv2.cvtColor(cv2.imread(img_name), cv2.COLOR_BGR2RGB)
+        vertices = np.asarray(a["vertices"], np.float32)
+        joints_mano = self.joints_from_mesh(vertices)
+        joints3d = _JM.mano_to_ait(joints_mano)
+        return {
+            "image": img,
+            "image_name": img_name,
+            "K": np.eye(3, dtype=np.float32),
+            "joints3D": joints3d.astype(np.float32),
+            "joints_valid": np.ones((21, 1), np.float32),
+            "joints_raw": joints3d.astype(np.float32),
+        }

@@ -183,3 +183,79 @@ def test_epe_statistics():
     pred = np.ones((5, 21, 3)) * np.array([3, 4, 0]) / 5  # dist 1 each
     s = epe_statistics(pred, gt)
     assert s["mean"] == pytest.approx(1.0)
+
+
+def test_rn25d_head_forward():
+    from simhand_tpu.models.heads import RN25DWithMLPRef
+
+    model = RN25DWithMLPRef(resnet_size="50")
+    img = jnp.zeros((2, 128, 128, 3))
+    variables = model.init(jax.random.key(0), img)
+    out = model.apply(variables, img)
+    assert out["kp3d"].shape == (2, 21, 3)
+    assert out["kp25d"].shape == (2, 21, 3)
+    # root's relative depth forced to zero
+    np.testing.assert_allclose(np.asarray(out["zrel"][:, 0, 0]), 0.0)
+
+
+def test_evaluate_25d_on_perfect_predictions():
+    """Feeding ground-truth 2.5D as predictions must give ~0 EPE."""
+    from simhand_tpu.core import geometry
+    from simhand_tpu.experiments.evaluation import evaluate_25d
+
+    rng = np.random.default_rng(7)
+    B = 8
+    joints = rng.uniform(-0.05, 0.05, (B, 21, 3)).astype(np.float32)
+    joints[..., 2] += 0.6
+    K = np.broadcast_to(
+        np.array([[480.0, 0, 112], [0, 480.0, 112], [0, 0, 1]], np.float32),
+        (B, 3, 3),
+    ).copy()
+    j25, scale = geometry.convert_to_2_5d(jnp.asarray(K), jnp.asarray(joints))
+    batch = {
+        "image": np.zeros((B, 8, 8, 3), np.float32),
+        "joints": np.asarray(j25),
+        "joints3D": joints,
+        "K": K,
+        "scale": np.asarray(scale),
+        "joints_raw": joints,
+    }
+    metrics = evaluate_25d(lambda img: np.asarray(j25), [batch])
+    assert metrics["Mean_EPE_2D"] < 1e-3
+    assert metrics["Mean_EPE_3D"] < 1e-3
+    assert metrics["auc"] > 0.99
+    assert metrics["Mean_EPE_3D_procrustes"] < 1e-3
+
+
+def test_supervised_prep_pipeline():
+    from simhand_tpu.data.augment_cv2 import AugmentFlags, AugmentParams
+    from simhand_tpu.data.pipeline import PretrainDataset
+
+    class _SupSource:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng(i)
+            j3d = rng.uniform(-0.05, 0.05, (21, 3)).astype(np.float32)
+            j3d[:, 2] += 0.6
+            K = np.array([[480.0, 0, 112], [0, 480.0, 112], [0, 0, 1]], np.float32)
+            return {
+                "image": rng.integers(0, 255, (224, 224, 3), dtype=np.uint8),
+                "image_name": f"s{i}",
+                "K": K,
+                "joints3D": j3d,
+                "joints_valid": np.ones((21, 1), np.float32),
+                "joints_raw": j3d.copy(),
+            }
+
+    ds = PretrainDataset(
+        _SupSource(), "supervised",
+        AugmentFlags(crop=True, resize=True, rotate=True), AugmentParams(),
+    )
+    s = ds.__getitem__(0)
+    assert s["image"].shape == (128, 128, 3)
+    assert s["joints"].shape == (21, 3)
+    assert s["K"].shape == (3, 3)
+    # recreated 3D should be consistent with the (augmented) 2.5D + new K
+    assert np.isfinite(s["joints3D_recreated"]).all()

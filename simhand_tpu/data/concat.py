@@ -22,3 +22,14 @@ class ConcatSource:
         if "positive_sample_idx" in sample:
             sample["positive_sample_idx"] += self.offsets[k]
         return sample
+
+    def sample_weights(self):
+        """Per-index sampling weights giving each source equal probability
+        (the reference's WeightedRandomSampler over ConcatDataset,
+        src/data_loader/utils.py:233-243: weight 1/len(source))."""
+        import numpy as np
+
+        w = np.concatenate(
+            [np.full(len(s), 1.0 / len(s)) for s in self.sources]
+        )
+        return w / w.sum()

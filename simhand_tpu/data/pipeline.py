@@ -197,16 +197,23 @@ def batch_iterator(
     num_threads: int = 8,
     drop_last: bool = True,
     raw: bool = False,
+    sample_weights: np.ndarray | None = None,
 ) -> Iterator[dict]:
     """Prefetching threaded batch loader.
 
     cv2 releases the GIL in its hot loops, so a thread pool gets close to
-    process-pool throughput without pickling overhead.
+    process-pool throughput without pickling overhead. With
+    ``sample_weights``, indices are drawn with replacement (the
+    reference's WeightedRandomSampler semantics for multi-source concats).
     """
     n = len(dataset)
-    order = np.arange(n)
-    if shuffle:
-        np.random.default_rng([seed, epoch]).shuffle(order)
+    rng_order = np.random.default_rng([seed, epoch])
+    if sample_weights is not None:
+        order = rng_order.choice(n, size=n, replace=True, p=sample_weights)
+    else:
+        order = np.arange(n)
+        if shuffle:
+            rng_order.shuffle(order)
     nb = n // batch_size if drop_last else -(-n // batch_size)
 
     work: "queue.Queue[int]" = queue.Queue()

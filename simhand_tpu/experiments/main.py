@@ -171,10 +171,27 @@ def main(argv=None):
     if mesh is not None:
         state = replicate(mesh, state)
 
-    # ---------------- checkpointing ----------------
+    # ---------------- observability ----------------
+    from simhand_tpu.utils.logging import (
+        MetricLogger,
+        register_experiment,
+        setup_debug_logging,
+    )
+
     exp_name = args.experiment_name or cfg_mod.prepare_name(
         f"{experiment_type}_", train_param
     )
+    metric_logger = MetricLogger(
+        exp_name, tb_dir=constants.TENSORBOARD_LOGS, tags=list(args.tag)
+    )
+    if args.meta_file:
+        register_experiment(args.meta_file, exp_name, args.experiment_key)
+    if args.debug:
+        setup_debug_logging(
+            os.path.join(constants.SAVED_META_INFO_PATH, "debug"), exp_name
+        )
+
+    # ---------------- checkpointing ----------------
     ckpt_dir = os.path.join(constants.SAVED_MODELS_BASE_PATH, exp_name, "checkpoints")
     manager = CheckpointManager(ckpt_dir, save_top_k=int(args.save_top_k))
     if args.resume:
@@ -196,21 +213,39 @@ def main(argv=None):
             break
         epoch_losses = []
         t_epoch = time.time()
+        weights = (
+            source.sample_weights() if hasattr(source, "sample_weights") else None
+        )
         for batch in batch_iterator(
             dataset, batch_size, seed=seed, epoch=epoch,
             num_threads=num_workers, raw=args.device_augment,
+            sample_weights=weights,
         ):
             if mesh is not None:
                 batch = shard_batch(mesh, batch)
             state, metrics = step_fn(state, batch)
             global_step += 1
             if args.log_interval == "step":
-                logger.info(
-                    "step %d loss %.5f", global_step,
-                    float(metrics["contrastive_loss"]),
+                metric_logger.log_metrics(
+                    {"contrastive_loss": float(metrics["contrastive_loss"])},
+                    global_step,
                 )
             else:
                 epoch_losses.append(metrics["contrastive_loss"])
+            if args.vis and args.vis_save_dir and global_step % 100 == 1:
+                # simhand_vis contract: dump per-iteration npy of the pair
+                # images (+ joints when present) for offline inspection
+                # (reference: simhand_vis_model.py:53-64).
+                os.makedirs(args.vis_save_dir, exist_ok=True)
+                dump = {
+                    k: np.asarray(v)
+                    for k, v in batch.items()
+                    if k.startswith(("transformed_image", "image", "joints"))
+                }
+                np.save(
+                    os.path.join(args.vis_save_dir, f"iter_{global_step:07d}.npy"),
+                    dump, allow_pickle=True,
+                )
             if max_steps is not None and global_step >= max_steps:
                 stop = True
                 break
@@ -223,6 +258,7 @@ def main(argv=None):
             "epoch %d: contrastive_loss %.5f (%.1fs, %.1f img/s)",
             epoch, mean_loss, dt, batch_size * max(len(epoch_losses), 1) / dt,
         )
+        metric_logger.log_metrics({"contrastive_loss_epoch": mean_loss}, global_step)
         manager.save(global_step, jax.device_get(state), {"contrastive_loss": mean_loss})
 
     manager.wait()
@@ -232,6 +268,7 @@ def main(argv=None):
     if args.export_torch:
         export_torch_encoder(jax.device_get(state), args.export_torch)
         logger.info("exported torch encoder to %s", args.export_torch)
+    metric_logger.close()
     manager.close()
     return state
 

@@ -1,0 +1,86 @@
+"""Checkpoint interop: flax <-> torchvision-format state dicts."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simhand_tpu.models import resnet50
+from simhand_tpu.train.torch_port import (
+    encoder_to_torch_state_dict,
+    load_torch_checkpoint,
+    save_torch_checkpoint,
+    torch_state_dict_to_encoder,
+)
+
+
+@pytest.fixture(scope="module")
+def rn50_vars():
+    model = resnet50()
+    return model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+
+
+def test_export_key_names_match_torchvision(rn50_vars):
+    sd = encoder_to_torch_state_dict(
+        rn50_vars["params"], rn50_vars["batch_stats"]
+    )
+    # spot-check the torchvision resnet50 naming contract
+    for key in [
+        "conv1.weight",
+        "bn1.weight", "bn1.bias", "bn1.running_mean", "bn1.running_var",
+        "layer1.0.conv1.weight", "layer1.0.bn3.running_var",
+        "layer1.0.downsample.0.weight", "layer1.0.downsample.1.weight",
+        "layer4.2.conv3.weight", "layer4.2.bn3.bias",
+    ]:
+        assert key in sd, key
+    assert sd["conv1.weight"].shape == (64, 3, 7, 7)
+    assert sd["layer1.0.downsample.0.weight"].shape == (256, 64, 1, 1)
+    # exactly the conv/bn params of torchvision rn50 minus fc:
+    # 23,508,032 weights + running stats
+    n_params = sum(
+        v.size for k, v in sd.items() if "running" not in k
+    )
+    assert n_params == 23_508_032
+
+
+def test_round_trip_identity(rn50_vars):
+    sd = encoder_to_torch_state_dict(
+        rn50_vars["params"], rn50_vars["batch_stats"]
+    )
+    params, stats = torch_state_dict_to_encoder(sd)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(rn50_vars["params"])
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+    for path, a in flat_a:
+        b = flat_b[path]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    flat_sa = jax.tree_util.tree_leaves_with_path(rn50_vars["batch_stats"])
+    flat_sb = dict(jax.tree_util.tree_flatten_with_path(stats)[0])
+    for path, a in flat_sa:
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(flat_sb[path]))
+
+
+def test_torch_file_round_trip(rn50_vars, tmp_path):
+    torch = pytest.importorskip("torch")
+    path = os.path.join(tmp_path, "enc.pth")
+    save_torch_checkpoint(
+        path, jax.device_get(rn50_vars["params"]),
+        jax.device_get(rn50_vars["batch_stats"]),
+    )
+    params, stats = load_torch_checkpoint(path)
+    # loaded params run a forward pass
+    model = resnet50()
+    out = model.apply(
+        {"params": params, "batch_stats": stats}, jnp.zeros((1, 32, 32, 3))
+    )
+    assert out.shape == (1, 2048)
+    # ignores fc.* keys and num_batches_tracked if present
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    sd["fc.weight"] = torch.zeros(1000, 2048)
+    sd["bn1.num_batches_tracked"] = torch.tensor(0)
+    params2, _ = torch_state_dict_to_encoder(
+        {k: v.numpy() for k, v in sd.items()}
+    )
+    assert "fc" not in params2

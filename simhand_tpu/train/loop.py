@@ -99,8 +99,11 @@ def make_train_step(
     the compiled program.
     """
     if mesh is None:
+        # donate the state: params/opt-state buffers are updated in place,
+        # halving HBM high-water and skipping a full-state copy per step.
         return jax.jit(
-            partial(_step_fn, model=model, cfg=cfg, axis_name=None, augment=augment)
+            partial(_step_fn, model=model, cfg=cfg, axis_name=None, augment=augment),
+            donate_argnums=(0,),
         )
 
     sharded = shard_map(
@@ -110,7 +113,7 @@ def make_train_step(
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    return jax.jit(sharded, donate_argnums=(0,))
 
 
 def make_eval_step(

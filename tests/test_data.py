@@ -149,3 +149,44 @@ def test_simhand_pairs_use_mined_positive(synthetic_root):
     want[:, 0] *= 128
     want[:, 1] *= 128
     np.testing.assert_allclose(s["joints2_ori"], want, atol=1e-5)
+
+
+def test_crop_cache_round_trip(synthetic_root, tmp_path):
+    from simhand_tpu.data.cache import CachedHand100MSource, build_crop_cache
+
+    src = Hand100MSource(synthetic_root, source="100doh", scale="smoke")
+    cache_dir = str(tmp_path / "cache")
+    build_crop_cache(src, cache_dir, shard_size=10)
+    cached = CachedHand100MSource(cache_dir)
+    assert len(cached) == len(src)
+    for i in (0, 9, 10, len(src) - 1):  # shard boundaries
+        a, b = src[i], cached[i]
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_allclose(a["joints3D"], b["joints3D"])
+        np.testing.assert_allclose(a["joints_raw"], b["joints_raw"])
+        assert a["positive_sample_idx"] == b["positive_sample_idx"]
+    # drops into the pretrain pipeline unchanged
+    ds = PretrainDataset(
+        cached, "simhand_w", default_flags(), AugmentParams(), seed=3
+    )
+    s = ds.__getitem__(0)
+    assert s["transformed_image1"].shape == (128, 128, 3)
+
+
+def test_weighted_sampling_equalizes_sources(synthetic_root):
+    from simhand_tpu.data.concat import ConcatSource
+
+    src = Hand100MSource(synthetic_root, source="100doh", scale="smoke")
+
+    class _Small:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return src[i]
+
+    concat = ConcatSource([src, _Small()])
+    w = concat.sample_weights()
+    assert w.shape == (len(src) + 4,)
+    # each source gets ~equal total probability
+    assert abs(w[: len(src)].sum() - 0.5) < 1e-6

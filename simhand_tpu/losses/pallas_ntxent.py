@@ -1,0 +1,191 @@
+"""Pallas TPU kernels for the contrastive hot path.
+
+At global batch 8192 each device owns a (2B_local, 2N) = (2048, 16384)
+row-shard of the similarity problem. The XLA path materializes three such
+planes in HBM (pairwise joint-distance matrix, weight matrix, covariance)
+plus a 21-iteration accumulation loop — ~5+ GB of HBM traffic per step.
+These kernels keep everything in VMEM per tile:
+
+``ntxent_denominator``
+    neg_i = sum_{j != i} exp(z_i . z_j / T)                     (plain)
+
+``weighted_ntxent_denominator``
+    d_ij  = mean_k ||j_i^k - j_j^k||          (mpjpe over 21 joints)
+    w_ij  = (d_max - d_ij) / (d_max - d_min)  (linear inverted weights)
+    neg_i = sum_{j != i} exp(z_i . z_j * w_ij / T)
+
+One MXU matmul per (row, col) tile for the covariance; the joint-distance
+reduction runs as a 21-step VPU loop on VMEM-resident tiles; exp + mask +
+row-sum fuse in the same tile before a single (rows,) accumulation write.
+
+Both kernels are forward-only (the production train path uses the XLA
+implementation in losses/contrastive.py, which autodiffs; these serve the
+mining/eval paths and as the template for a custom-VJP training kernel).
+Numerics are validated against the reference implementation in
+tests/test_pallas_ntxent.py (interpret mode on CPU, compiled on TPU).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+ROW_TILE = 256
+COL_TILE = 512
+
+
+def _ntxent_denom_kernel(rows_ref, cols_ref, row_ids_ref, temp_ref,
+                         out_ref, acc_ref):
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    cov = jnp.dot(
+        rows_ref[:], cols_ref[:].T, preferred_element_type=jnp.float32
+    )
+    sim = jnp.exp(cov / temp_ref[0])
+
+    # mask the self-similarity diagonal: global col id == row id
+    col_start = j * cols_ref.shape[0]
+    col_ids = col_start + jax.lax.broadcasted_iota(
+        jnp.int32, sim.shape, dimension=1
+    )
+    is_self = col_ids == row_ids_ref[:].reshape(-1, 1)
+    sim = jnp.where(is_self, 0.0, sim)
+
+    acc_ref[:] += jnp.sum(sim, axis=1)
+
+    @pl.when(j == n_j - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ntxent_denominator(
+    z_rows: Array,      # (M, D) local rows, L2-normalized
+    z_cols: Array,      # (N, D) global columns
+    row_ids: Array,     # (M,) global ids of the rows (for self-masking)
+    temperature: float = 0.5,
+    interpret: bool = False,
+) -> Array:
+    M, D = z_rows.shape
+    N = z_cols.shape[0]
+    assert M % ROW_TILE == 0 and N % COL_TILE == 0, (M, N)
+
+    grid = (M // ROW_TILE, N // COL_TILE)
+    return pl.pallas_call(
+        _ntxent_denom_kernel,
+        out_shape=jax.ShapeDtypeStruct((M,), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((ROW_TILE, D), lambda i, j: (i, 0)),
+                pl.BlockSpec((COL_TILE, D), lambda i, j: (j, 0)),
+                pl.BlockSpec((ROW_TILE,), lambda i, j: (i,)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((ROW_TILE,), lambda i, j: (i,)),
+            scratch_shapes=[pltpu.VMEM((ROW_TILE,), jnp.float32)],
+        ),
+        interpret=interpret,
+    )(z_rows, z_cols, row_ids.astype(jnp.int32),
+      jnp.full((1,), temperature, jnp.float32))
+
+
+def _weighted_denom_kernel(rows_ref, cols_ref, jrows_ref, jcols_ref,
+                           row_ids_ref, scalars_ref, out_ref, acc_ref):
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    temp = scalars_ref[0]
+    d_max = scalars_ref[1]
+    d_min = scalars_ref[2]
+
+    cov = jnp.dot(
+        rows_ref[:], cols_ref[:].T, preferred_element_type=jnp.float32
+    )
+
+    # mpjpe distance tile: 21-step VPU accumulation, all VMEM-resident.
+    jr = jrows_ref[:]                     # (ROW_TILE, 42) [x0,y0,x1,y1,...]
+    jc = jcols_ref[:]                     # (COL_TILE, 42)
+
+    def body(k, acc):
+        dx = jr[:, 2 * k][:, None] - jc[:, 2 * k][None, :]
+        dy = jr[:, 2 * k + 1][:, None] - jc[:, 2 * k + 1][None, :]
+        return acc + jnp.sqrt(dx * dx + dy * dy)
+
+    dist = jax.lax.fori_loop(
+        0, 21, body, jnp.zeros(cov.shape, jnp.float32)
+    ) * (1.0 / 21.0)
+    w = (d_max - dist) / (d_max - d_min)
+
+    sim = jnp.exp(cov * w / temp)
+    col_start = j * cols_ref.shape[0]
+    col_ids = col_start + jax.lax.broadcasted_iota(
+        jnp.int32, sim.shape, dimension=1
+    )
+    sim = jnp.where(col_ids == row_ids_ref[:].reshape(-1, 1), 0.0, sim)
+
+    acc_ref[:] += jnp.sum(sim, axis=1)
+
+    @pl.when(j == n_j - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def weighted_ntxent_denominator(
+    z_rows: Array,        # (M, D)
+    z_cols: Array,        # (N, D)
+    joints_rows: Array,   # (M, 21, 2)
+    joints_cols: Array,   # (N, 21, 2)
+    row_ids: Array,       # (M,)
+    d_max: Array,         # scalar: global max of the distance matrix
+    d_min: Array,         # scalar: global min
+    temperature: float = 0.5,
+    interpret: bool = False,
+) -> Array:
+    M, D = z_rows.shape
+    N = z_cols.shape[0]
+    assert M % ROW_TILE == 0 and N % COL_TILE == 0, (M, N)
+
+    jr = joints_rows.reshape(M, 42)
+    jc = joints_cols.reshape(N, 42)
+    scalars = jnp.stack(
+        [jnp.float32(temperature), d_max.astype(jnp.float32),
+         d_min.astype(jnp.float32)]
+    )
+
+    grid = (M // ROW_TILE, N // COL_TILE)
+    return pl.pallas_call(
+        _weighted_denom_kernel,
+        out_shape=jax.ShapeDtypeStruct((M,), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((ROW_TILE, D), lambda i, j: (i, 0)),
+                pl.BlockSpec((COL_TILE, D), lambda i, j: (j, 0)),
+                pl.BlockSpec((ROW_TILE, 42), lambda i, j: (i, 0)),
+                pl.BlockSpec((COL_TILE, 42), lambda i, j: (j, 0)),
+                pl.BlockSpec((ROW_TILE,), lambda i, j: (i,)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((ROW_TILE,), lambda i, j: (i,)),
+            scratch_shapes=[pltpu.VMEM((ROW_TILE,), jnp.float32)],
+        ),
+        interpret=interpret,
+    )(z_rows, z_cols, jr, jc, row_ids.astype(jnp.int32), scalars)

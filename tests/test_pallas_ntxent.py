@@ -1,0 +1,90 @@
+"""Pallas fused NT-Xent denominator kernels vs the XLA reference
+(interpret mode — CPU-runnable; the same kernels compile on TPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simhand_tpu.losses.pallas_ntxent import (
+    COL_TILE,
+    ROW_TILE,
+    ntxent_denominator,
+    weighted_ntxent_denominator,
+)
+
+T = 0.5
+
+
+def normalize(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    M, N, D = ROW_TILE, 2 * COL_TILE, 128
+    z_cols = normalize(rng.normal(size=(N, D))).astype(np.float32)
+    z_rows = z_cols[:M]  # local rows are a prefix of the global set
+    row_ids = np.arange(M, dtype=np.int32)
+    j_cols = rng.uniform(0, 128, (N, 21, 2)).astype(np.float32)
+    j_rows = j_cols[:M]
+    return z_rows, z_cols, j_rows, j_cols, row_ids
+
+
+def test_plain_denominator_matches_reference(data):
+    z_rows, z_cols, _, _, row_ids = data
+    got = np.asarray(
+        ntxent_denominator(
+            jnp.asarray(z_rows), jnp.asarray(z_cols), jnp.asarray(row_ids),
+            T, interpret=True,
+        )
+    )
+    sim = np.exp(z_rows @ z_cols.T / T)
+    sim[np.arange(len(z_rows)), row_ids] = 0.0
+    want = sim.sum(axis=1)
+    np.testing.assert_allclose(got, want, rtol=2e-5)
+
+
+def test_weighted_denominator_matches_reference(data):
+    z_rows, z_cols, j_rows, j_cols, row_ids = data
+    # reference weight computation
+    d = np.linalg.norm(
+        j_cols[:, None] - j_cols[None, :], axis=-1
+    ).mean(-1)
+    d_max, d_min = d.max(), d.min()
+    w_rows = (d_max - d[: len(z_rows)]) / (d_max - d_min)  # (M, N)
+    sim = np.exp((z_rows @ z_cols.T) * w_rows / T)
+    sim[np.arange(len(z_rows)), row_ids] = 0.0
+    want = sim.sum(axis=1)
+
+    got = np.asarray(
+        weighted_ntxent_denominator(
+            jnp.asarray(z_rows), jnp.asarray(z_cols),
+            jnp.asarray(j_rows), jnp.asarray(j_cols),
+            jnp.asarray(row_ids),
+            jnp.float32(d_max), jnp.float32(d_min),
+            T, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=5e-4)
+
+
+def test_full_loss_via_pallas_matches_ntxent(data):
+    """-log(pos/neg) with the pallas denominator == losses.nt_xent."""
+    from simhand_tpu.losses import nt_xent
+
+    z_rows, z_cols, _, _, _ = data
+    B = len(z_cols) // 2
+    z1, z2 = z_cols[:B], z_cols[B:]
+    want = float(nt_xent(jnp.asarray(z1), jnp.asarray(z2), T))
+
+    neg = np.asarray(
+        ntxent_denominator(
+            jnp.asarray(z_cols), jnp.asarray(z_cols),
+            jnp.arange(2 * B, dtype=np.int32), T, interpret=True,
+        )
+    )
+    pos = np.exp(np.sum(z1 * z2, axis=-1) / T)
+    pos = np.concatenate([pos, pos])
+    got = float(np.mean(-np.log(pos / neg)))
+    assert got == pytest.approx(want, rel=1e-5)

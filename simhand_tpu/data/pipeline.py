@@ -172,6 +172,24 @@ class PretrainDataset:
         img2, j2_aug, p2 = self._prep_view(positive, rng, override_jitter)
 
         out = {"transformed_image1": img1, "transformed_image2": img2}
+        if etype == "simhand_vis":
+            # un-augmented (geometry-only) companion views, as produced by
+            # the reference's DefaultSampleAugmenter (data_set.py:741-788)
+            geo = HostAugmenter(
+                AugmentFlags(crop=self.flags.crop, resize=True,
+                             rotate=self.flags.rotate),
+                self.params,
+            )
+            v1, _, _, _ = geo.transform(
+                anchor["image"], anchor["joints3D"], rng,
+                override_jitter=override_jitter,
+            )
+            v2, _, _, _ = geo.transform(
+                positive["image"], positive["joints3D"], rng,
+                override_jitter=override_jitter,
+            )
+            out["image1"] = normalize_image(v1)
+            out["image2"] = normalize_image(v2)
         if etype in WEIGHTED_TYPES:
             out["joints1_ori"] = self._ori_joints(anchor)
             out["joints2_ori"] = self._ori_joints(positive)

@@ -216,3 +216,215 @@ class Ego4DHands2D:
             "joint": None,                       # no 3D labels
             "kp2d": s["joints3D"][:, :2].astype(np.float32),
         }
+
+
+# --------------------------------------------------------------------------
+# STB (Stereo Hand Pose Tracking Benchmark)
+# --------------------------------------------------------------------------
+
+# SK color-camera intrinsics/extrinsics (reference: datasets/stb.py:27-44)
+STB_SK_INTR = np.array(
+    [[607.92271, 0.0, 314.78337],
+     [0.0, 607.88192, 236.42484],
+     [0.0, 0.0, 1.0]], np.float32,
+)
+STB_SK_ROT_VEC = np.array([0.00531, -0.01196, 0.00301])
+STB_SK_TRANS_VEC = np.array([-24.0381, -0.4563, -1.2326])  # mm
+
+STB_SPLITS = {
+    "train": ["B2Counting", "B2Random", "B3Counting", "B3Random",
+              "B4Counting", "B4Random", "B5Counting", "B5Random",
+              "B6Counting", "B6Random"],
+    "val": ["B2Counting", "B2Random"],
+    "test": ["B1Counting", "B1Random"],
+}
+
+# STB annotates palm + fingers pinky->thumb; "snap" order is the
+# freihand/wrist-first order. stb index -> snap index:
+STB_TO_SNAP = [0, 17, 18, 19, 20, 13, 14, 15, 16, 9, 10, 11, 12,
+               5, 6, 7, 8, 1, 2, 3, 4]
+
+
+def _rodrigues_quat(rot_vec: np.ndarray) -> np.ndarray:
+    """STB's quaternion-style Rodrigues matrix (datasets/stb.py:46-77)."""
+    theta = np.linalg.norm(rot_vec)
+    v = np.asarray(rot_vec) * np.sin(theta / 2.0) / theta
+    a, (b, c, d) = np.cos(theta / 2.0), -v
+    return np.array([
+        [a * a + b * b - c * c - d * d, 2 * (b * c - a * d), 2 * (b * d + a * c)],
+        [2 * (b * c + a * d), a * a + c * c - b * b - d * d, 2 * (c * d - a * b)],
+        [2 * (b * d - a * c), 2 * (c * d + a * b), a * a + d * d - b * b - c * c],
+    ])
+
+
+class STB:
+    """Stereo Hand Pose Tracking Benchmark, SK color camera only
+    (reference: minimal-hand/datasets/stb.py). Palm annotation is moved to
+    the wrist via the 2.2x mid-mcp extrapolation (ge_palm2wrist)."""
+
+    def __init__(self, root_dir: str, split: str = "train"):
+        import scipy.io as sio
+
+        self.root = root_dir
+        rot = _rodrigues_quat(STB_SK_ROT_VEC)
+        self.img_paths: list[str] = []
+        joints_all = []
+        for seq in STB_SPLITS[split]:
+            mat = sio.loadmat(os.path.join(root_dir, "labels", f"{seq}_SK.mat"))
+            raw = mat["handPara"].transpose(2, 1, 0)        # (N, 21, 3) mm
+            # depth-cam -> color-cam, reorder, mm -> m
+            xyz = (raw - STB_SK_TRANS_VEC[None, None]) @ rot
+            snap = np.zeros_like(xyz)
+            snap[:, STB_TO_SNAP, :] = xyz
+            snap /= 1000.0
+            # palm -> wrist (ge_palm2wrist, stb.py:115-122)
+            snap[:, 0] = snap[:, 9] + 2.2 * (snap[:, 0] - snap[:, 9])
+            joints_all.append(snap.astype(np.float32))
+            for i in range(raw.shape[0]):
+                self.img_paths.append(
+                    os.path.join(root_dir, "images", seq, f"SK_color_{i}.png")
+                )
+        self.joints_snap = np.concatenate(joints_all)
+
+    def __len__(self):
+        return len(self.img_paths)
+
+    def __getitem__(self, i: int) -> dict:
+        import cv2
+
+        img = cv2.cvtColor(cv2.imread(self.img_paths[i]), cv2.COLOR_BGR2RGB)
+        joint = _JM.freihand_to_ait(self.joints_snap[i])    # snap == freihand order
+        kp = (STB_SK_INTR @ joint.T).T
+        kp2d = (kp[:, :2] / kp[:, 2:]).astype(np.float32)
+        return {"image": img, "K": STB_SK_INTR, "joint": joint, "kp2d": kp2d}
+
+
+# --------------------------------------------------------------------------
+# CMU hand_labels / hand143_panopticdb (2D), GANerated, Dexter+Object,
+# EgoDexter — legacy minimal-hand train/eval sets.
+# --------------------------------------------------------------------------
+
+class CMUHandLabels:
+    """CMU 'hand_labels' (manual annotations): per-image JSON with
+    hand_pts (21, 3) = x, y, visible (reference: datasets/hand_labels.py).
+    2D-only (flag_3d=0)."""
+
+    def __init__(self, root_dir: str, split: str = "train"):
+        sub = "manual_train" if split == "train" else "manual_test"
+        self.dir = os.path.join(root_dir, sub)
+        self.names = sorted(
+            f[:-5] for f in os.listdir(self.dir) if f.endswith(".json")
+        )
+
+    def __len__(self):
+        return len(self.names)
+
+    def __getitem__(self, i: int) -> dict:
+        import cv2
+
+        name = self.names[i]
+        with open(os.path.join(self.dir, name + ".json")) as f:
+            a = json.load(f)
+        img = cv2.cvtColor(
+            cv2.imread(os.path.join(self.dir, name + ".jpg")), cv2.COLOR_BGR2RGB
+        )
+        pts = np.asarray(a["hand_pts"], np.float32)         # (21, 3) x,y,vis
+        kp2d = pts[_JM.freihand_to_ait_idx, :2]
+        return {"image": img, "K": None, "joint": None, "kp2d": kp2d}
+
+
+class CMUPanoptic143:
+    """hand143_panopticdb: one JSON (hands_v143_14817.json) of synthetic
+    renders with 2D keypoints (reference: datasets/hand143_panopticdb.py)."""
+
+    def __init__(self, root_dir: str):
+        with open(os.path.join(root_dir, "hands_v143_14817.json")) as f:
+            self.anno = json.load(f)["root"]
+        self.root = root_dir
+
+    def __len__(self):
+        return len(self.anno)
+
+    def __getitem__(self, i: int) -> dict:
+        import cv2
+
+        a = self.anno[i]
+        img = cv2.cvtColor(
+            cv2.imread(os.path.join(self.root, a["img_paths"])), cv2.COLOR_BGR2RGB
+        )
+        pts = np.asarray(a["joint_self"], np.float32)[:, :2]
+        kp2d = pts[_JM.freihand_to_ait_idx]
+        return {"image": img, "K": None, "joint": None, "kp2d": kp2d}
+
+
+class GANeratedHands:
+    """GANerated synthetic set: per-frame *_joint_pos.txt (21 x 3D, mm,
+    normalized) + *_joint2D.txt (reference: datasets/ganerated_hands.py)."""
+
+    def __init__(self, root_dir: str):
+        self.frames = []
+        for dirpath, _, files in os.walk(root_dir):
+            for f in sorted(files):
+                if f.endswith("_joint2D.txt"):
+                    self.frames.append(os.path.join(dirpath, f[: -len("_joint2D.txt")]))
+
+    def __len__(self):
+        return len(self.frames)
+
+    def __getitem__(self, i: int) -> dict:
+        import cv2
+
+        base = self.frames[i]
+        img = cv2.cvtColor(
+            cv2.imread(base + "_color_composed.png"), cv2.COLOR_BGR2RGB
+        )
+        kp2d = np.loadtxt(base + "_joint2D.txt", delimiter=",").reshape(21, 2)
+        joint = np.loadtxt(base + "_joint_pos.txt", delimiter=",").reshape(21, 3)
+        return {
+            "image": img,
+            "K": None,
+            "joint": _JM.freihand_to_ait(joint.astype(np.float32)),
+            "kp2d": kp2d[_JM.freihand_to_ait_idx].astype(np.float32),
+        }
+
+
+FINGERTIP_AIT_IDS = [16, 17, 18, 19, 20]  # thumb..pinky tips
+
+
+class DexterObject:
+    """Dexter+Object: fingertip-only 2D/3D annotations
+    (reference: datasets/dexter_object.py). Emits 21-joint arrays with
+    only the 5 tips valid — consumers mask via the veil/valid channels."""
+
+    SEQS = ("Grasp1", "Grasp2", "Occlusion", "Pinch", "Rigid", "Rotate")
+
+    def __init__(self, root_dir: str):
+        self.samples: list[tuple[str, np.ndarray]] = []
+        for seq in self.SEQS:
+            anno = os.path.join(root_dir, "data", seq, "annotations",
+                                f"{seq}.txt")
+            img_dir = os.path.join(root_dir, "data", seq, "color")
+            if not os.path.exists(anno):
+                continue
+            with open(anno) as f:
+                for idx, line in enumerate(f):
+                    vals = [v for v in line.strip().replace(";", ",").split(",") if v]
+                    if len(vals) < 10:
+                        continue
+                    tips = np.asarray(vals[:10], np.float32).reshape(5, 2)
+                    self.samples.append(
+                        (os.path.join(img_dir, f"color_{idx:05d}.png"), tips)
+                    )
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i: int) -> dict:
+        import cv2
+
+        path, tips = self.samples[i]
+        img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+        kp2d = np.zeros((21, 2), np.float32)
+        kp2d[FINGERTIP_AIT_IDS] = tips
+        return {"image": img, "K": None, "joint": None, "kp2d": kp2d,
+                "tip_only": True}

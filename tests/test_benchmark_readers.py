@@ -75,3 +75,55 @@ def test_pair_grid(tmp_path):
     assert grid.shape == (64, 128, 3)
     assert grid.dtype == np.uint8
     assert grid.sum() > 0
+
+
+def test_stb_reader(tmp_path):
+    import scipy.io as sio
+
+    from simhand_tpu.finetune.benchmarks import STB, STB_SK_INTR
+
+    root = tmp_path / "stb"
+    (root / "labels").mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    for seq in ("B1Counting", "B1Random"):
+        (root / "images" / seq).mkdir(parents=True)
+        # 2 frames of 21 plausible depth-cam joints (mm)
+        hand = rng.uniform(-50, 50, (3, 21, 2)) + np.array([0, 0, 500])[:, None, None]
+        sio.savemat(str(root / "labels" / f"{seq}_SK.mat"), {"handPara": hand})
+        for i in range(2):
+            cv2.imwrite(
+                str(root / "images" / seq / f"SK_color_{i}.png"),
+                rng.integers(0, 255, (480, 640, 3), dtype=np.uint8),
+            )
+    ds = STB(str(root), "test")
+    assert len(ds) == 4
+    s = ds[0]
+    assert s["joint"].shape == (21, 3)
+    assert s["kp2d"].shape == (21, 2)
+    np.testing.assert_array_equal(s["K"], STB_SK_INTR)
+    # joints in meters, plausible depth
+    assert 0.1 < np.abs(s["joint"][:, 2]).mean() < 2.0
+
+
+def test_cmu_hand_labels_reader(tmp_path):
+    from simhand_tpu.finetune.benchmarks import CMUHandLabels
+
+    root = tmp_path / "cmu"
+    d = root / "manual_train"
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(2)
+    import json as _json
+
+    for i in range(2):
+        pts = rng.uniform(0, 100, (21, 3)).tolist()
+        with open(d / f"img{i}.json", "w") as f:
+            _json.dump({"hand_pts": pts, "is_left": 0}, f)
+        cv2.imwrite(
+            str(d / f"img{i}.jpg"),
+            rng.integers(0, 255, (64, 64, 3), dtype=np.uint8),
+        )
+    ds = CMUHandLabels(str(root), "train")
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["kp2d"].shape == (21, 2)
+    assert s["joint"] is None

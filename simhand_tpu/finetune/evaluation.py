@@ -153,3 +153,44 @@ def align_by_root_and_scale(
     gt_len = np.linalg.norm(gt_rel[:, a] - gt_rel[:, b], axis=-1, keepdims=True)
     scale = (gt_len / np.maximum(pred_len, 1e-12))[:, :, None]
     return pred * scale + gt[:, root_idx : root_idx + 1]
+
+
+class AverageMeter:
+    """Running mean meter (reference: utils/eval/evalutils.py:10-26)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val: float, n: int = 1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / max(self.count, 1)
+
+
+def heatmap_pck(pred_hm: np.ndarray, gt_hm: np.ndarray, veil: np.ndarray,
+                threshold: float = 0.5) -> float:
+    """Heatmap-space PCK: fraction of joints whose predicted argmax lies
+    within ``threshold * max(H, W) / 10`` pixels of the GT argmax
+    (reference: utils/eval/evalutils.py:54-76 accuracy/calc_dists).
+    Shapes: (B, H, W, J); veil (B, J)."""
+    B, H, W, J = pred_hm.shape
+    norm = np.maximum(H, W) / 10.0
+
+    def argmax2d(hm):
+        flat = hm.reshape(B, H * W, J).argmax(axis=1)
+        return np.stack([flat // W, flat % W], axis=-1)  # (B, J, 2)
+
+    p = argmax2d(pred_hm)
+    g = argmax2d(gt_hm)
+    d = np.linalg.norm((p - g).astype(np.float64), axis=-1) / norm
+    valid = veil.astype(bool)
+    if not valid.any():
+        return 0.0
+    return float((d[valid] < threshold).mean())

@@ -58,10 +58,10 @@ def _ntxent_denom_kernel(rows_ref, cols_ref, row_ids_ref, temp_ref,
     col_ids = col_start + jax.lax.broadcasted_iota(
         jnp.int32, sim.shape, dimension=1
     )
-    is_self = col_ids == row_ids_ref[:].reshape(-1, 1)
+    is_self = col_ids == row_ids_ref[:]          # row_ids block is (R, 1)
     sim = jnp.where(is_self, 0.0, sim)
 
-    acc_ref[:] += jnp.sum(sim, axis=1)
+    acc_ref[:] += jnp.sum(sim, axis=1, keepdims=True)
 
     @pl.when(j == n_j - 1)
     def _():
@@ -81,24 +81,25 @@ def ntxent_denominator(
     assert M % ROW_TILE == 0 and N % COL_TILE == 0, (M, N)
 
     grid = (M // ROW_TILE, N // COL_TILE)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _ntxent_denom_kernel,
-        out_shape=jax.ShapeDtypeStruct((M,), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((M, 1), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((ROW_TILE, D), lambda i, j: (i, 0)),
                 pl.BlockSpec((COL_TILE, D), lambda i, j: (j, 0)),
-                pl.BlockSpec((ROW_TILE,), lambda i, j: (i,)),
+                pl.BlockSpec((ROW_TILE, 1), lambda i, j: (i, 0)),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
-            out_specs=pl.BlockSpec((ROW_TILE,), lambda i, j: (i,)),
-            scratch_shapes=[pltpu.VMEM((ROW_TILE,), jnp.float32)],
+            out_specs=pl.BlockSpec((ROW_TILE, 1), lambda i, j: (i, 0)),
+            scratch_shapes=[pltpu.VMEM((ROW_TILE, 1), jnp.float32)],
         ),
         interpret=interpret,
-    )(z_rows, z_cols, row_ids.astype(jnp.int32),
+    )(z_rows, z_cols, row_ids.astype(jnp.int32).reshape(M, 1),
       jnp.full((1,), temperature, jnp.float32))
+    return out[:, 0]
 
 
 def _weighted_denom_kernel(rows_ref, cols_ref, jrows_ref, jcols_ref,
@@ -118,18 +119,17 @@ def _weighted_denom_kernel(rows_ref, cols_ref, jrows_ref, jcols_ref,
         rows_ref[:], cols_ref[:].T, preferred_element_type=jnp.float32
     )
 
-    # mpjpe distance tile: 21-step VPU accumulation, all VMEM-resident.
+    # mpjpe distance tile: statically unrolled 21-joint VPU accumulation,
+    # all VMEM-resident (static indices — pallas TPU has no dynamic_slice).
     jr = jrows_ref[:]                     # (ROW_TILE, 42) [x0,y0,x1,y1,...]
     jc = jcols_ref[:]                     # (COL_TILE, 42)
 
-    def body(k, acc):
+    dist = jnp.zeros(cov.shape, jnp.float32)
+    for k in range(21):
         dx = jr[:, 2 * k][:, None] - jc[:, 2 * k][None, :]
         dy = jr[:, 2 * k + 1][:, None] - jc[:, 2 * k + 1][None, :]
-        return acc + jnp.sqrt(dx * dx + dy * dy)
-
-    dist = jax.lax.fori_loop(
-        0, 21, body, jnp.zeros(cov.shape, jnp.float32)
-    ) * (1.0 / 21.0)
+        dist = dist + jnp.sqrt(dx * dx + dy * dy)
+    dist = dist * (1.0 / 21.0)
     w = (d_max - dist) / (d_max - d_min)
 
     sim = jnp.exp(cov * w / temp)
@@ -137,9 +137,9 @@ def _weighted_denom_kernel(rows_ref, cols_ref, jrows_ref, jcols_ref,
     col_ids = col_start + jax.lax.broadcasted_iota(
         jnp.int32, sim.shape, dimension=1
     )
-    sim = jnp.where(col_ids == row_ids_ref[:].reshape(-1, 1), 0.0, sim)
+    sim = jnp.where(col_ids == row_ids_ref[:], 0.0, sim)
 
-    acc_ref[:] += jnp.sum(sim, axis=1)
+    acc_ref[:] += jnp.sum(sim, axis=1, keepdims=True)
 
     @pl.when(j == n_j - 1)
     def _():
@@ -170,9 +170,9 @@ def weighted_ntxent_denominator(
     )
 
     grid = (M // ROW_TILE, N // COL_TILE)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _weighted_denom_kernel,
-        out_shape=jax.ShapeDtypeStruct((M,), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((M, 1), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
@@ -181,11 +181,13 @@ def weighted_ntxent_denominator(
                 pl.BlockSpec((COL_TILE, D), lambda i, j: (j, 0)),
                 pl.BlockSpec((ROW_TILE, 42), lambda i, j: (i, 0)),
                 pl.BlockSpec((COL_TILE, 42), lambda i, j: (j, 0)),
-                pl.BlockSpec((ROW_TILE,), lambda i, j: (i,)),
+                pl.BlockSpec((ROW_TILE, 1), lambda i, j: (i, 0)),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
-            out_specs=pl.BlockSpec((ROW_TILE,), lambda i, j: (i,)),
-            scratch_shapes=[pltpu.VMEM((ROW_TILE,), jnp.float32)],
+            out_specs=pl.BlockSpec((ROW_TILE, 1), lambda i, j: (i, 0)),
+            scratch_shapes=[pltpu.VMEM((ROW_TILE, 1), jnp.float32)],
         ),
         interpret=interpret,
-    )(z_rows, z_cols, jr, jc, row_ids.astype(jnp.int32), scalars)
+    )(z_rows, z_cols, jr, jc, row_ids.astype(jnp.int32).reshape(M, 1),
+      scalars)
+    return out[:, 0]

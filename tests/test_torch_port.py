@@ -84,3 +84,39 @@ def test_torch_file_round_trip(rn50_vars, tmp_path):
         {k: v.numpy() for k, v in sd.items()}
     )
     assert "fc" not in params2
+
+
+def test_detnet_round_trip():
+    from simhand_tpu.finetune.detnet import DetNet
+    from simhand_tpu.finetune.torch_port_detnet import (
+        detnet_to_torch_state_dict,
+        torch_state_dict_to_detnet,
+    )
+
+    model = DetNet(resnet_size="50")
+    variables = model.init(jax.random.key(1), jnp.zeros((1, 128, 128, 3)))
+    sd = detnet_to_torch_state_dict(
+        jax.device_get(variables["params"]),
+        jax.device_get(variables["batch_stats"]),
+    )
+    for key in [
+        "encoder.resnet.conv1.weight", "deconv.0.weight", "deconv.1.running_mean",
+        "hmap_0.project.0.weight", "hmap_0.prediction.bias",
+        "lmap_0.prediction.weight",
+    ]:
+        assert key in sd, key
+    assert sd["deconv.0.weight"].shape == (2048, 256, 4, 4)
+    assert sd["hmap_0.prediction.weight"].shape == (21, 256, 1, 1)
+
+    params, stats = torch_state_dict_to_detnet(sd)
+    # round trip is exact, and the model runs on the reloaded tree
+    got = np.asarray(params["deconv0"]["kernel"])
+    want = np.asarray(variables["params"]["deconv0"]["kernel"])
+    np.testing.assert_array_equal(got, want)
+    out = model.apply(
+        {"params": params, "batch_stats": stats}, jnp.zeros((1, 128, 128, 3))
+    )
+    ref = model.apply(variables, jnp.zeros((1, 128, 128, 3)))
+    np.testing.assert_allclose(
+        np.asarray(out["h_map"]), np.asarray(ref["h_map"]), rtol=1e-5, atol=1e-6
+    )

@@ -26,7 +26,15 @@ def video_ids_from_annotations(images: list[dict], annotations: list[dict]) -> n
             key = a["video_id"]
         else:
             file_name = image_by_id[a["image_id"]]["file_name"]
-            key = os.path.dirname(file_name) or file_name.split("_frame")[0]
+            base = os.path.basename(file_name)
+            if "_frame" in base:
+                # flat layout: <video_id>_frame<idx>.jpg
+                key = os.path.join(
+                    os.path.dirname(file_name), base.split("_frame")[0]
+                )
+            else:
+                # nested layout: <video_id>/frame_<idx>.jpg
+                key = os.path.dirname(file_name) or file_name
         vids[i] = names.setdefault(key, len(names))
     return vids
 

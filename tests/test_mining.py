@@ -64,3 +64,38 @@ def test_video_ids_from_paths():
     annotations = [{"image_id": 0}, {"image_id": 1}, {"image_id": 2}]
     vids = video_ids_from_annotations(images, annotations)
     assert vids[0] == vids[1] != vids[2]
+
+
+def test_mining_cli_end_to_end(tmp_path):
+    """Unpaired annotations -> mining CLI -> schema-exact paired JSON that
+    reproduces the synthetic generator's brute-force pairs."""
+    import json
+
+    from simhand_tpu.data.sources import generate_synthetic_hand100m
+    from simhand_tpu.mining import run as mining_run
+
+    root = str(tmp_path / "h100m")
+    anno_path = generate_synthetic_hand100m(
+        root, num_images=32, num_videos=4, side=64, scale="smoke"
+    )
+    with open(anno_path) as f:
+        data = json.load(f)
+    want = [a["positive_sample"][0] for a in data["annotations"]]
+
+    # strip the pairs, re-mine them through the CLI
+    for a in data["annotations"]:
+        a["positive_sample"] = []
+        a["distance"] = []
+    unpaired = str(tmp_path / "unpaired.json")
+    with open(unpaired, "w") as f:
+        json.dump(data, f)
+    out = str(tmp_path / "paired.json")
+    mining_run.main(["--input", unpaired, "--output", out,
+                     "--k", "1", "--query_chunk", "8", "--db_chunk", "16"])
+
+    with open(out) as f:
+        mined = json.load(f)
+    got = [a["positive_sample"][0] for a in mined["annotations"]]
+    assert got == want
+    # distances present and finite
+    assert all(np.isfinite(a["distance"][0]) for a in mined["annotations"])

@@ -158,9 +158,15 @@ class DexYCB:
 
 class AssemblyHandsEgo:
     """AssemblyHands egocentric split via its COCO-style v1-1 annotations
-    (reference: minimal-hand/datasets/assembly_hands.py)."""
+    (reference: minimal-hand/datasets/assembly_hands.py + the ego crop
+    preprocessing: hand crops are cut around the keypoint bbox with the
+    intrinsics updated, data_loader/utils.py:422-457 semantics)."""
 
-    def __init__(self, root_dir: str, split: str = "train"):
+    CROP_SCALE = 1.5
+    CROP_SIZE = 224
+
+    def __init__(self, root_dir: str, split: str = "train", crop: bool = True):
+        self.crop = crop
         anno = os.path.join(
             root_dir, "annotations", split,
             f"assemblyhands_{split}_ego_data_v1-1.json",
@@ -193,6 +199,12 @@ class AssemblyHandsEgo:
         kp = np.asarray(
             a.get("keypoints", np.zeros(63)), np.float32
         ).reshape(21, -1)[:, :2]
+        if self.crop and kp.any():
+            from simhand_tpu.data.crops import crop_and_resize_via_joints
+
+            img, kp, K = crop_and_resize_via_joints(
+                img, kp, self.CROP_SIZE, self.CROP_SCALE, K
+            )
         return {"image": img, "K": K, "joint": joint, "kp2d": kp}
 
 

@@ -33,8 +33,18 @@ def replicate_spec() -> P:
 
 
 def shard_batch(mesh: Mesh, batch, axis_name: str = DATA_AXIS):
-    """Places a host batch dict on the mesh, sharded along axis 0."""
+    """Places a host batch dict on the mesh, sharded along axis 0.
+
+    Multi-host: each process passes its *local* slice of the global batch
+    and the global array is assembled across processes (per-host input
+    pipelines feed only their shard — DCN never sees activations).
+    """
     sharding = NamedSharding(mesh, P(axis_name))
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 

@@ -259,3 +259,23 @@ def test_supervised_prep_pipeline():
     assert s["K"].shape == (3, 3)
     # recreated 3D should be consistent with the (augmented) 2.5D + new K
     assert np.isfinite(s["joints3D_recreated"]).all()
+
+
+def test_crop_and_resize_via_joints_updates_K():
+    from simhand_tpu.data.crops import crop_and_resize_via_joints
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+    K = np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]], np.float32)
+    xyz = rng.uniform(-0.05, 0.05, (21, 3)).astype(np.float32)
+    xyz[:, 2] += 0.5
+    uvw = (K @ xyz.T).T
+    kp2d = uvw[:, :2] / uvw[:, 2:]
+
+    crop, kp_new, K_new = crop_and_resize_via_joints(img, kp2d, 224, 1.5, K)
+    assert crop.shape == (224, 224, 3)
+    # reprojecting the 3D joints with the updated K lands on the new kp2d
+    uvw2 = (K_new @ xyz.T).T
+    kp_reproj = uvw2[:, :2] / uvw2[:, 2:]
+    np.testing.assert_allclose(kp_reproj, kp_new, atol=1.5)
+    assert kp_new.min() >= -5 and kp_new.max() <= 229

@@ -440,3 +440,45 @@ class DexterObject:
         kp2d[FINGERTIP_AIT_IDS] = tips
         return {"image": img, "K": None, "joint": None, "kp2d": kp2d,
                 "tip_only": True}
+
+
+class EgoDexter:
+    """EgoDexter: egocentric fingertip-only annotations
+    (reference: datasets/egodexter.py). annotation.txt_3D.txt holds 3D tip
+    positions; 2D tips come from annotation.txt. Tip-only like
+    DexterObject."""
+
+    SEQS = ("Desk", "Fruits", "Kitchen", "Rotunda")
+
+    def __init__(self, root_dir: str):
+        self.samples: list[tuple[str, np.ndarray]] = []
+        for seq in self.SEQS:
+            seq_dir = os.path.join(root_dir, "data", seq)
+            anno = os.path.join(seq_dir, "annotation.txt")
+            img_dir = os.path.join(seq_dir, "color")
+            if not os.path.exists(anno):
+                continue
+            with open(anno) as f:
+                for idx, line in enumerate(f):
+                    vals = [v for v in line.strip().replace(";", ",").split(",") if v]
+                    if len(vals) < 10:
+                        continue
+                    tips = np.asarray(vals[:10], np.float32).reshape(5, 2)
+                    if not tips.any():
+                        continue
+                    self.samples.append(
+                        (os.path.join(img_dir, f"image_{idx:05d}_color.png"), tips)
+                    )
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i: int) -> dict:
+        import cv2
+
+        path, tips = self.samples[i]
+        img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+        kp2d = np.zeros((21, 2), np.float32)
+        kp2d[FINGERTIP_AIT_IDS] = tips
+        return {"image": img, "K": None, "joint": None, "kp2d": kp2d,
+                "tip_only": True}

@@ -86,9 +86,23 @@ class ContrastiveModel(nn.Module):
     proj_hidden_dim: int = 512
     proj_output_dim: int = 128
     dtype: Any = jnp.float32
+    remat: bool = False   # rematerialize encoder activations (bigger batch)
 
     def setup(self):
-        self.encoder = RESNETS[self.resnet_size](dtype=self.dtype, name="encoder")
+        enc_cls = RESNETS[self.resnet_size]
+        if self.remat:
+            # static_argnums indexes (module, x, train) — `train` must be
+            # static (BN mode) and passed positionally below.
+            enc_cls = nn.remat(
+                enc_cls.func if hasattr(enc_cls, "func") else enc_cls,
+                static_argnums=(2,),
+            )
+            self.encoder = enc_cls(
+                **{**RESNETS[self.resnet_size].keywords, "dtype": self.dtype},
+                name="encoder",
+            )
+        else:
+            self.encoder = enc_cls(dtype=self.dtype, name="encoder")
         self.projection_head = ProjectionHead(
             hidden_dim=self.proj_hidden_dim,
             output_dim=self.proj_output_dim,
@@ -98,7 +112,7 @@ class ContrastiveModel(nn.Module):
 
     def __call__(self, images: Array, train: bool = False):
         """images: (N, H, W, 3) float; returns (embedding, projection)."""
-        emb = self.encoder(images, train=train)
+        emb = self.encoder(images, train)
         proj = self.projection_head(emb, train=train)
         return emb, proj
 

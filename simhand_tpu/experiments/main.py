@@ -175,8 +175,18 @@ def main(argv=None):
     mesh = create_mesh() if len(jax.devices()) > 1 else None
     augment = (flags, params, side) if args.device_augment else None
     step_fn = make_train_step(model, ccfg, mesh=mesh, augment=augment)
+    from simhand_tpu.train import make_eval_step
+
+    eval_fn = make_eval_step(model, ccfg, mesh=mesh)
     if mesh is not None:
         state = replicate(mesh, state)
+
+    # held-out validation slice (reference: re-split val loaders,
+    # data_loader/utils.py:219-269). Hand100M has no labeled val set, so
+    # the tail (1 - train_ratio) of the index space serves as one.
+    train_ratio = float(train_param.get("train_ratio", 1.0))
+    n_val = int(num_samples * (1.0 - train_ratio))
+    n_val = (n_val // batch_size) * batch_size
 
     # ---------------- observability ----------------
     from simhand_tpu.utils.logging import (
@@ -266,6 +276,23 @@ def main(argv=None):
             epoch, mean_loss, dt, batch_size * max(len(epoch_losses), 1) / dt,
         )
         metric_logger.log_metrics({"contrastive_loss_epoch": mean_loss}, global_step)
+        if n_val > 0 and not args.device_augment:
+            val_losses = []
+            val_order = np.arange(num_samples - n_val, num_samples)
+            for b in range(len(val_order) // batch_size):
+                idxs = val_order[b * batch_size : (b + 1) * batch_size]
+                samples = [dataset.__getitem__(int(i), epoch=0) for i in idxs]
+                val_batch = {
+                    k: np.stack([s[k] for s in samples]) for k in samples[0]
+                }
+                if mesh is not None:
+                    val_batch = shard_batch(mesh, val_batch)
+                val_losses.append(
+                    float(eval_fn(state, val_batch)["contrastive_loss"])
+                )
+            metric_logger.log_metrics(
+                {"contrastive_loss_val": float(np.mean(val_losses))}, global_step
+            )
         manager.save(global_step, jax.device_get(state), {"contrastive_loss": mean_loss})
 
     manager.wait()

@@ -1,7 +1,7 @@
 """Env-keyed paths (reference: src/constants.py:3-32)."""
 import os
 
-BASE_PATH = os.environ.get("BASE_PATH", os.path.expanduser("~/simhand_tpu"))
+BASE_PATH = os.environ.get("BASE_PATH", "/tmp/simhand_tpu")
 DATA_PATH = os.environ.get("DATA_PATH", os.path.join(BASE_PATH, "data"))
 HAND2M_DATA = os.environ.get("HAND2M_DATA", DATA_PATH)
 FREIHAND_DATA = os.environ.get("FREIHAND_DATA", os.path.join(DATA_PATH, "freihand"))

@@ -190,3 +190,19 @@ def test_weighted_sampling_equalizes_sources(synthetic_root):
     assert w.shape == (len(src) + 4,)
     # each source gets ~equal total probability
     assert abs(w[: len(src)].sum() - 0.5) < 1e-6
+
+
+def test_grain_loader(synthetic_root):
+    pytest.importorskip("grain")
+    from simhand_tpu.data.grain_loader import grain_batch_iterator
+
+    src = Hand100MSource(synthetic_root, source="100doh", scale="smoke")
+    ds = PretrainDataset(src, "simclr", default_flags(), AugmentParams(), seed=5)
+    it = grain_batch_iterator(ds, batch_size=4, num_workers=0)
+    batch = next(it)
+    assert batch["transformed_image1"].shape == (4, 128, 128, 3)
+    # raw mode for the device-augment path
+    it_raw = grain_batch_iterator(ds, batch_size=4, num_workers=0, raw=True)
+    raw = next(it_raw)
+    assert raw["image1"].shape == (4, 224, 224, 3)
+    assert raw["image1"].dtype == np.uint8

@@ -225,6 +225,21 @@ def main(argv=None):
     max_steps = args.max_steps
     num_workers = int(train_param.get("num_workers", 8))
     stop = False
+
+    # Preemption safety (the reference has no fault handling, SURVEY §5):
+    # SIGTERM requests a checkpoint at the next step boundary, then exits.
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        logger.warning("SIGTERM received — checkpointing at next boundary")
+        preempted["flag"] = True
+
+    try:
+        signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:
+        pass  # non-main thread (tests)
     for epoch in range(epochs):
         if stop:
             break
@@ -264,6 +279,15 @@ def main(argv=None):
                     dump, allow_pickle=True,
                 )
             if max_steps is not None and global_step >= max_steps:
+                stop = True
+                break
+            if preempted["flag"]:
+                manager.save(
+                    global_step, jax.device_get(state),
+                    {"contrastive_loss": float(metrics["contrastive_loss"])},
+                )
+                manager.wait()
+                logger.warning("checkpoint saved at step %d; exiting", global_step)
                 stop = True
                 break
         if epoch_losses:

@@ -141,3 +141,73 @@ def test_contrastive_model_train_mode_updates_batch_stats():
     assert any(
         not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(before, after)
     )
+
+
+def test_simhand_w_full_pipeline_matches_numpy_oracle():
+    """End-to-end simhand_w step math (normalize -> view(64,2) ->
+    translate(-jitter/side, spread-scaled) -> rotate(-angle, centroid) ->
+    renormalize -> linear mpjpe weights -> weighted NT-Xent) against an
+    independent numpy transcription of the reference equations."""
+    rng = np.random.default_rng(42)
+    B, D, side, T = 5, 128, 128.0, 0.5
+    proj = rng.normal(size=(2 * B, D)).astype(np.float64)
+    jx = rng.uniform(-15, 0, 2 * B)
+    jy = rng.uniform(-15, 0, 2 * B)
+    ang = np.floor(rng.uniform(-45, 45, 2 * B))
+    j1 = rng.uniform(0, 128, (B, 21, 2))
+    j2 = rng.uniform(0, 128, (B, 21, 2))
+
+    # ---- numpy oracle ----
+    def norm(x):
+        return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+    z = np.concatenate([norm(proj[:B]), norm(proj[B:])]).reshape(2 * B, 64, 2)
+    # translate by -jitter/side scaled by per-sample spread
+    spread = z.max(axis=1) - z.min(axis=1)
+    z[..., 0] += (-jx / side * spread[:, 0])[:, None]
+    z[..., 1] += (-jy / side * spread[:, 1])[:, None]
+    # rotate by -angle about centroid (OpenCV convention)
+    for i in range(2 * B):
+        c = z[i].mean(axis=0)
+        a = np.deg2rad(-ang[i])
+        al, be = np.cos(a), np.sin(a)
+        M = np.array([[al, be, (1 - al) * c[0] - be * c[1]],
+                      [-be, al, be * c[0] + (1 - al) * c[1]]])
+        z[i] = z[i] @ M[:, :2].T + M[:, 2]
+    z = z.reshape(2 * B, D)
+    z1o, z2o = norm(z[:B]), norm(z[B:])
+    # weights (mpjpe linear)
+    pd = np.linalg.norm(j1 - j2, axis=-1).mean(1)
+    pw = (pd.max() - pd) / (pd.max() - pd.min())
+    bj = np.concatenate([j1, j2])
+    nd = np.linalg.norm(bj[:, None] - bj[None, :], axis=-1).mean(-1)
+    nw = (nd.max() - nd) / (nd.max() - nd.min())
+    zc = np.concatenate([z1o, z2o])
+    sim = np.exp(zc @ zc.T * nw / T)
+    neg = (sim * (1 - np.eye(2 * B))).sum(1)
+    pos = np.exp(np.sum(z1o * z2o, -1) * pw / T)
+    pos = np.concatenate([pos, pos])
+    want = float(np.mean(-np.log(pos / neg)))
+
+    # ---- ours ----
+    batch = {
+        "jitter_x_1": jnp.asarray(jx[:B], jnp.float32),
+        "jitter_x_2": jnp.asarray(jx[B:], jnp.float32),
+        "jitter_y_1": jnp.asarray(jy[:B], jnp.float32),
+        "jitter_y_2": jnp.asarray(jy[B:], jnp.float32),
+        "angle_1": jnp.asarray(ang[:B], jnp.float32),
+        "angle_2": jnp.asarray(ang[B:], jnp.float32),
+        "joints1_aug": jnp.asarray(
+            np.concatenate([j1, np.ones((B, 21, 1))], -1), jnp.float32),
+        "joints2_aug": jnp.asarray(
+            np.concatenate([j2, np.ones((B, 21, 1))], -1), jnp.float32),
+    }
+    cfg = ContrastiveConfig(
+        experiment_type="simhand_w", augmentation=("crop", "rotate", "resize"),
+        image_side=side, weight_type="linear", diff_type="mpjpe",
+        pos_neg="pos_neg", joints_type="aug",
+    )
+    got, _ = contrastive_loss_from_projections(
+        jnp.asarray(proj, jnp.float32), batch, cfg
+    )
+    assert float(got) == pytest.approx(want, rel=1e-4)

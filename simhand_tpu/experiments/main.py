@@ -209,13 +209,39 @@ def main(argv=None):
         )
 
     # ---------------- checkpointing ----------------
-    ckpt_dir = os.path.join(constants.SAVED_MODELS_BASE_PATH, exp_name, "checkpoints")
+    ckpt_dir = args.resume_path or os.path.join(
+        constants.SAVED_MODELS_BASE_PATH, exp_name, "checkpoints"
+    )
     manager = CheckpointManager(ckpt_dir, save_top_k=int(args.save_top_k))
-    if args.resume:
+    if args.resume or args.resume_path:
         restored = manager.restore(state)
         if restored is not None:
             state = restored
             logger.info("resumed from step %s", manager.latest_step())
+
+    if args.eval:
+        # evaluation-only mode: load the checkpoint at --eval_path (or the
+        # run's own dir) and report the contrastive loss on the data.
+        eval_mgr = (
+            CheckpointManager(args.eval_path) if args.eval_path else manager
+        )
+        restored = eval_mgr.restore(state)
+        if restored is not None:
+            state = restored
+        losses = []
+        for i, batch in enumerate(
+            batch_iterator(dataset, batch_size, shuffle=False,
+                           num_threads=int(train_param.get("num_workers", 8)))
+        ):
+            if mesh is not None:
+                batch = shard_batch(mesh, batch)
+            losses.append(float(eval_fn(state, batch)["contrastive_loss"]))
+            if i >= 50:
+                break
+        logger.info("eval contrastive_loss: %.5f", float(np.mean(losses)))
+        metric_logger.close()
+        manager.close()
+        return state
 
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)

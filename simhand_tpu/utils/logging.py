@@ -59,6 +59,25 @@ class MetricLogger:
                 {k: float(v) for k, v in metrics.items()}, step=step
             )
 
+    def log_figure(self, name: str, fig, step: int) -> None:
+        """Pushes a matplotlib figure (the reference's UploadCometLogs
+        sample-pair figures, src/models/callbacks/upload_comet_logs.py)."""
+        if self._tb is not None:
+            import io
+
+            import numpy as np
+            import tensorflow as tf
+
+            buf = io.BytesIO()
+            fig.savefig(buf, format="png", dpi=80)
+            buf.seek(0)
+            img = tf.image.decode_png(buf.getvalue(), channels=4)
+            with self._tb.as_default():
+                tf.summary.image(name, img[None], step=step)
+                self._tb.flush()
+        if self._comet is not None:  # pragma: no cover
+            self._comet.log_figure(figure_name=name, figure=fig, step=step)
+
     def close(self):
         if self._comet is not None:  # pragma: no cover
             self._comet.end()

@@ -191,3 +191,110 @@ def weighted_ntxent_denominator(
     )(z_rows, z_cols, jr, jc, row_ids.astype(jnp.int32).reshape(M, 1),
       scalars)
     return out[:, 0]
+
+
+# --------------------------------------------------------------------------
+# Full NT-Xent loss with custom VJP (training path)
+# --------------------------------------------------------------------------
+
+def _ntxent_grad_kernel(rows_ref, cols_ref, inv_rows_ref, inv_cols_ref,
+                        row_ids_ref, temp_ref, out_ref, acc_ref):
+    """G_m = sum_{j != m} s_mj * (1/neg_m + 1/neg_j) * z_j, tiled.
+
+    s is symmetric for a shared z set, so one streaming pass produces the
+    full denominator gradient; the positive-pair term is added outside.
+    """
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    cov = jnp.dot(
+        rows_ref[:], cols_ref[:].T, preferred_element_type=jnp.float32
+    )
+    s = jnp.exp(cov / temp_ref[0])
+    w = s * (inv_rows_ref[:] + inv_cols_ref[:].reshape(1, -1))
+    col_start = j * cols_ref.shape[0]
+    col_ids = col_start + jax.lax.broadcasted_iota(
+        jnp.int32, w.shape, dimension=1
+    )
+    w = jnp.where(col_ids == row_ids_ref[:], 0.0, w)
+    acc_ref[:] += jnp.dot(w, cols_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(j == n_j - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _ntxent_grad(z: Array, inv_neg: Array, temperature: float,
+                 interpret: bool = False) -> Array:
+    """Denominator gradient for all 2N rows (rows == cols == z)."""
+    N, D = z.shape
+    assert N % ROW_TILE == 0 and N % COL_TILE == 0, N
+    ids = jnp.arange(N, dtype=jnp.int32).reshape(N, 1)
+    grid = (N // ROW_TILE, N // COL_TILE)
+    return pl.pallas_call(
+        _ntxent_grad_kernel,
+        out_shape=jax.ShapeDtypeStruct((N, D), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((ROW_TILE, D), lambda i, j: (i, 0)),
+                pl.BlockSpec((COL_TILE, D), lambda i, j: (j, 0)),
+                pl.BlockSpec((ROW_TILE, 1), lambda i, j: (i, 0)),
+                pl.BlockSpec((COL_TILE, 1), lambda i, j: (j, 0)),
+                pl.BlockSpec((ROW_TILE, 1), lambda i, j: (i, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((ROW_TILE, D), lambda i, j: (i, 0)),
+            scratch_shapes=[pltpu.VMEM((ROW_TILE, D), jnp.float32)],
+        ),
+        interpret=interpret,
+    )(z, z, inv_neg.reshape(N, 1), inv_neg.reshape(N, 1), ids,
+      jnp.full((1,), temperature, jnp.float32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def nt_xent_pallas(z1: Array, z2: Array, temperature: float = 0.5,
+                   interpret: bool = False) -> Array:
+    """SimCLR NT-Xent with pallas forward AND backward.
+
+    Semantics identical to losses.contrastive.nt_xent (single-device):
+    the (2N, 2N) similarity matrix never materializes in HBM in either
+    pass. z1/z2 must be L2-normalized (B, D) with B*2 divisible by the
+    tile sizes.
+    """
+    loss, _ = _nt_xent_pallas_fwd(z1, z2, temperature, interpret)
+    return loss
+
+
+def _nt_xent_pallas_fwd(z1, z2, temperature, interpret):
+    z = jnp.concatenate([z1, z2], axis=0)
+    n = z.shape[0]
+    neg = ntxent_denominator(
+        z, z, jnp.arange(n, dtype=jnp.int32), temperature, interpret=interpret
+    )
+    pos = jnp.sum(z1 * z2, axis=-1) / temperature
+    pos2 = jnp.concatenate([pos, pos])
+    loss = jnp.mean(jnp.log(neg) - pos2)
+    return loss, (z1, z2, neg)
+
+
+def _nt_xent_pallas_bwd(temperature, interpret, res, g):
+    z1, z2, neg = res
+    b = z1.shape[0]
+    n = 2 * b
+    z = jnp.concatenate([z1, z2], axis=0)
+    denom_grad = _ntxent_grad(z, 1.0 / neg, temperature, interpret=interpret)
+    # dL/dz_m = (1/(2N T)) * [denom_grad_m - 2 * z_partner(m)]
+    partner = jnp.concatenate([z2, z1], axis=0)
+    dz = (denom_grad - 2.0 * partner) / (n * temperature)
+    dz = dz * g
+    return dz[:b], dz[b:]
+
+
+nt_xent_pallas.defvjp(_nt_xent_pallas_fwd, _nt_xent_pallas_bwd)

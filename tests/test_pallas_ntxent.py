@@ -88,3 +88,27 @@ def test_full_loss_via_pallas_matches_ntxent(data):
     pos = np.concatenate([pos, pos])
     got = float(np.mean(-np.log(pos / neg)))
     assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_nt_xent_pallas_custom_vjp_matches_autodiff():
+    """Pallas fwd+bwd vs jax.grad of the XLA nt_xent (interpret mode)."""
+    from simhand_tpu.losses import nt_xent
+    from simhand_tpu.losses.pallas_ntxent import nt_xent_pallas
+
+    rng = np.random.default_rng(5)
+    B = COL_TILE  # 2B divisible by both tile sizes
+    z1 = jnp.asarray(normalize(rng.normal(size=(B, 128))), jnp.float32)
+    z2 = jnp.asarray(normalize(rng.normal(size=(B, 128))), jnp.float32)
+
+    want_loss = float(nt_xent(z1, z2, T))
+    got_loss = float(nt_xent_pallas(z1, z2, T, True))
+    assert got_loss == pytest.approx(want_loss, rel=1e-5)
+
+    g_want = jax.grad(lambda a, b: nt_xent(a, b, T), argnums=(0, 1))(z1, z2)
+    g_got = jax.grad(
+        lambda a, b: nt_xent_pallas(a, b, T, True), argnums=(0, 1)
+    )(z1, z2)
+    for gw, gg in zip(g_want, g_got):
+        np.testing.assert_allclose(
+            np.asarray(gg), np.asarray(gw), rtol=2e-4, atol=1e-7
+        )

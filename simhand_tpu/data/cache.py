@@ -101,6 +101,22 @@ class CachedHand100MSource:
     def __len__(self) -> int:
         return self.n
 
+    def gather_crops(self, indices) -> np.ndarray:
+        """Batch crop assembly: (len(indices), C, C, 3) uint8, using the
+        native multithreaded gather (simhand_tpu.native) when available."""
+        from simhand_tpu import native
+
+        idx = np.asarray(indices, np.int64)
+        shard_ids = idx // self.shard_size
+        rows = idx % self.shard_size
+        out = np.empty((len(idx),) + self.shards[0].shape[1:], np.uint8)
+        for k in np.unique(shard_ids):
+            sel = shard_ids == k
+            out[sel] = native.gather_records(
+                np.asarray(self.shards[k]), rows[sel]
+            )
+        return out
+
     def __getitem__(self, idx: int) -> dict:
         k, off = divmod(idx, self.shard_size)
         return {

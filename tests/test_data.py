@@ -206,3 +206,24 @@ def test_grain_loader(synthetic_root):
     raw = next(it_raw)
     assert raw["image1"].shape == (4, 224, 224, 3)
     assert raw["image1"].dtype == np.uint8
+
+
+def test_native_gather_matches_numpy(synthetic_root, tmp_path):
+    from simhand_tpu import native
+    from simhand_tpu.data.cache import CachedHand100MSource, build_crop_cache
+
+    rng = np.random.default_rng(10)
+    src_arr = rng.integers(0, 255, (50, 8, 8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 50, 20)
+    got = native.gather_records(src_arr, idx)
+    np.testing.assert_array_equal(got, src_arr[idx])
+
+    # through the cache
+    h_src = Hand100MSource(synthetic_root, source="100doh", scale="smoke")
+    cache_dir = str(tmp_path / "cache2")
+    build_crop_cache(h_src, cache_dir, shard_size=10)
+    cached = CachedHand100MSource(cache_dir)
+    sel = np.array([0, 5, 11, 21])
+    crops = cached.gather_crops(sel)
+    for i, s in enumerate(sel):
+        np.testing.assert_array_equal(crops[i], cached[int(s)]["image"])

@@ -37,6 +37,10 @@ Array = jax.Array
 
 ROW_TILE = 256
 COL_TILE = 512
+# the weighted kernel carries ~21 unrolled (rows, cols) distance
+# temporaries in VMEM — smaller tiles keep it under the 16 MB budget
+W_ROW_TILE = 128
+W_COL_TILE = 256
 
 
 def _ntxent_denom_kernel(rows_ref, cols_ref, row_ids_ref, temp_ref,
@@ -160,7 +164,7 @@ def weighted_ntxent_denominator(
 ) -> Array:
     M, D = z_rows.shape
     N = z_cols.shape[0]
-    assert M % ROW_TILE == 0 and N % COL_TILE == 0, (M, N)
+    assert M % W_ROW_TILE == 0 and N % W_COL_TILE == 0, (M, N)
 
     jr = joints_rows.reshape(M, 42)
     jc = joints_cols.reshape(N, 42)
@@ -169,7 +173,7 @@ def weighted_ntxent_denominator(
          d_min.astype(jnp.float32)]
     )
 
-    grid = (M // ROW_TILE, N // COL_TILE)
+    grid = (M // W_ROW_TILE, N // W_COL_TILE)
     out = pl.pallas_call(
         _weighted_denom_kernel,
         out_shape=jax.ShapeDtypeStruct((M, 1), jnp.float32),
@@ -177,15 +181,15 @@ def weighted_ntxent_denominator(
             num_scalar_prefetch=0,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((ROW_TILE, D), lambda i, j: (i, 0)),
-                pl.BlockSpec((COL_TILE, D), lambda i, j: (j, 0)),
-                pl.BlockSpec((ROW_TILE, 42), lambda i, j: (i, 0)),
-                pl.BlockSpec((COL_TILE, 42), lambda i, j: (j, 0)),
-                pl.BlockSpec((ROW_TILE, 1), lambda i, j: (i, 0)),
+                pl.BlockSpec((W_ROW_TILE, D), lambda i, j: (i, 0)),
+                pl.BlockSpec((W_COL_TILE, D), lambda i, j: (j, 0)),
+                pl.BlockSpec((W_ROW_TILE, 42), lambda i, j: (i, 0)),
+                pl.BlockSpec((W_COL_TILE, 42), lambda i, j: (j, 0)),
+                pl.BlockSpec((W_ROW_TILE, 1), lambda i, j: (i, 0)),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
-            out_specs=pl.BlockSpec((ROW_TILE, 1), lambda i, j: (i, 0)),
-            scratch_shapes=[pltpu.VMEM((ROW_TILE, 1), jnp.float32)],
+            out_specs=pl.BlockSpec((W_ROW_TILE, 1), lambda i, j: (i, 0)),
+            scratch_shapes=[pltpu.VMEM((W_ROW_TILE, 1), jnp.float32)],
         ),
         interpret=interpret,
     )(z_rows, z_cols, jr, jc, row_ids.astype(jnp.int32).reshape(M, 1),

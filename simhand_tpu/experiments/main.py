@@ -274,13 +274,14 @@ def main(argv=None):
         weights = (
             source.sample_weights() if hasattr(source, "sample_weights") else None
         )
-        for batch in batch_iterator(
+        from simhand_tpu.parallel.mesh import device_prefetch
+
+        host_iter = batch_iterator(
             dataset, batch_size, seed=seed, epoch=epoch,
             num_threads=num_workers, raw=args.device_augment,
             sample_weights=weights,
-        ):
-            if mesh is not None:
-                batch = shard_batch(mesh, batch)
+        )
+        for batch in device_prefetch(host_iter, mesh):
             state, metrics = step_fn(state, batch)
             global_step += 1
             if args.log_interval == "step":

@@ -23,7 +23,7 @@ import numpy as np
 logger = logging.getLogger("simhand_tpu.finetune")
 
 
-def make_detnet_train_step(model, tx, mesh=None, axis_name="data"):
+def make_detnet_train_step(model, mesh=None, axis_name="data"):
     import jax
     import jax.numpy as jnp
     from jax import shard_map
@@ -163,7 +163,7 @@ def main(argv=None):
     )
 
     mesh = create_mesh() if len(jax.devices()) > 1 else None
-    step_fn = make_detnet_train_step(model, tx, mesh=mesh)
+    step_fn = make_detnet_train_step(model, mesh=mesh)
     if mesh is not None:
         state = replicate(mesh, state)
 

@@ -52,3 +52,28 @@ def replicate(mesh: Mesh, tree):
     """Replicates a pytree (params / state) over the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def device_prefetch(iterator, mesh: Mesh | None, axis_name: str = DATA_AXIS,
+                    depth: int = 2):
+    """Double-buffers host batches onto the device(s).
+
+    Batch n+1 transfers while batch n computes — hides host->HBM copy
+    latency behind the step (the dispatch is async; the queue depth keeps
+    the device fed).
+    """
+    import collections
+
+    queue = collections.deque()
+
+    def put(batch):
+        if mesh is not None:
+            return shard_batch(mesh, batch, axis_name)
+        return jax.tree.map(jax.device_put, batch)
+
+    for batch in iterator:
+        queue.append(put(batch))
+        if len(queue) >= depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

@@ -302,3 +302,145 @@ def _nt_xent_pallas_bwd(temperature, interpret, res, g):
 
 
 nt_xent_pallas.defvjp(_nt_xent_pallas_fwd, _nt_xent_pallas_bwd)
+
+
+# --------------------------------------------------------------------------
+# Weighted NT-Xent (the simhand_w flagship loss) with custom VJP
+# --------------------------------------------------------------------------
+
+def _weighted_grad_kernel(rows_ref, cols_ref, jrows_ref, jcols_ref,
+                          inv_rows_ref, inv_cols_ref, row_ids_ref,
+                          scalars_ref, out_ref, acc_ref):
+    """G_m = sum_{j != m} exp(c_mj w_mj / T) * w_mj *
+             (1/neg_m + 1/neg_j) * z_j, with w recomputed in-tile.
+
+    Weights depend only on the (fixed) joints, so the z-gradient treats
+    them as constants; w is symmetric, so one streaming pass suffices.
+    """
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    temp = scalars_ref[0]
+    d_max = scalars_ref[1]
+    d_min = scalars_ref[2]
+
+    cov = jnp.dot(
+        rows_ref[:], cols_ref[:].T, preferred_element_type=jnp.float32
+    )
+    jr = jrows_ref[:]
+    jc = jcols_ref[:]
+    dist = jnp.zeros(cov.shape, jnp.float32)
+    for k in range(21):
+        dx = jr[:, 2 * k][:, None] - jc[:, 2 * k][None, :]
+        dy = jr[:, 2 * k + 1][:, None] - jc[:, 2 * k + 1][None, :]
+        dist = dist + jnp.sqrt(dx * dx + dy * dy)
+    w = (d_max - dist * (1.0 / 21.0)) / (d_max - d_min)
+
+    g = jnp.exp(cov * w / temp) * w * (
+        inv_rows_ref[:] + inv_cols_ref[:].reshape(1, -1)
+    )
+    col_start = j * cols_ref.shape[0]
+    col_ids = col_start + jax.lax.broadcasted_iota(
+        jnp.int32, g.shape, dimension=1
+    )
+    g = jnp.where(col_ids == row_ids_ref[:], 0.0, g)
+    acc_ref[:] += jnp.dot(g, cols_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(j == n_j - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _weighted_grad(z, joints, inv_neg, d_max, d_min, temperature,
+                   interpret=False):
+    N, D = z.shape
+    assert N % W_ROW_TILE == 0 and N % W_COL_TILE == 0, N
+    jflat = joints.reshape(N, 42)
+    ids = jnp.arange(N, dtype=jnp.int32).reshape(N, 1)
+    scalars = jnp.stack(
+        [jnp.float32(temperature), d_max.astype(jnp.float32),
+         d_min.astype(jnp.float32)]
+    )
+    grid = (N // W_ROW_TILE, N // W_COL_TILE)
+    return pl.pallas_call(
+        _weighted_grad_kernel,
+        out_shape=jax.ShapeDtypeStruct((N, D), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((W_ROW_TILE, D), lambda i, j: (i, 0)),
+                pl.BlockSpec((W_COL_TILE, D), lambda i, j: (j, 0)),
+                pl.BlockSpec((W_ROW_TILE, 42), lambda i, j: (i, 0)),
+                pl.BlockSpec((W_COL_TILE, 42), lambda i, j: (j, 0)),
+                pl.BlockSpec((W_ROW_TILE, 1), lambda i, j: (i, 0)),
+                pl.BlockSpec((W_COL_TILE, 1), lambda i, j: (j, 0)),
+                pl.BlockSpec((W_ROW_TILE, 1), lambda i, j: (i, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((W_ROW_TILE, D), lambda i, j: (i, 0)),
+            scratch_shapes=[pltpu.VMEM((W_ROW_TILE, D), jnp.float32)],
+        ),
+        interpret=interpret,
+    )(z, z, jflat, jflat, inv_neg.reshape(N, 1), inv_neg.reshape(N, 1),
+      ids, scalars)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def weighted_nt_xent_pallas(z1, z2, joints, pos_weights, pos_neg_minmax,
+                            temperature: float = 0.5,
+                            interpret: bool = False):
+    """simhand_w weighted NT-Xent, pallas fwd+bwd, HBM-matrix-free.
+
+    Args:
+      z1, z2: (B, D) normalized projections.
+      joints: (2B, 21, 2) stacked [joints1; joints2] (the _aug or _ori
+        2D joints used for the weights).
+      pos_weights: (B,) positive-pair weights (cheap; computed outside).
+      pos_neg_minmax: (2,) array [d_max, d_min] — global batch statistics
+        of the pairwise distance matrix (pmin/pmax under sharding).
+
+    Gradients flow to z1/z2 only (weights are joint statistics).
+    """
+    loss, _ = _weighted_pallas_fwd(z1, z2, joints, pos_weights,
+                                   pos_neg_minmax, temperature, interpret)
+    return loss
+
+
+def _weighted_pallas_fwd(z1, z2, joints, pos_weights, pos_neg_minmax,
+                         temperature, interpret):
+    z = jnp.concatenate([z1, z2], axis=0)
+    n = z.shape[0]
+    d_max, d_min = pos_neg_minmax[0], pos_neg_minmax[1]
+    neg = weighted_ntxent_denominator(
+        z, z, joints, joints, jnp.arange(n, dtype=jnp.int32),
+        d_max, d_min, temperature, interpret=interpret,
+    )
+    pos = jnp.sum(z1 * z2, axis=-1) * pos_weights / temperature
+    pos2 = jnp.concatenate([pos, pos])
+    loss = jnp.mean(jnp.log(neg) - pos2)
+    return loss, (z1, z2, joints, pos_weights, pos_neg_minmax, neg)
+
+
+def _weighted_pallas_bwd(temperature, interpret, res, g):
+    z1, z2, joints, pos_weights, pos_neg_minmax, neg = res
+    b = z1.shape[0]
+    n = 2 * b
+    z = jnp.concatenate([z1, z2], axis=0)
+    denom_grad = _weighted_grad(
+        z, joints, 1.0 / neg, pos_neg_minmax[0], pos_neg_minmax[1],
+        temperature, interpret=interpret,
+    )
+    partner = jnp.concatenate([z2, z1], axis=0)
+    pw2 = jnp.concatenate([pos_weights, pos_weights])[:, None]
+    dz = (denom_grad - 2.0 * pw2 * partner) / (n * temperature)
+    dz = dz * g
+    return dz[:b], dz[b:], None, None, None
+
+
+weighted_nt_xent_pallas.defvjp(_weighted_pallas_fwd, _weighted_pallas_bwd)

@@ -112,3 +112,40 @@ def test_nt_xent_pallas_custom_vjp_matches_autodiff():
         np.testing.assert_allclose(
             np.asarray(gg), np.asarray(gw), rtol=2e-4, atol=1e-7
         )
+
+
+def test_weighted_nt_xent_pallas_matches_xla_loss_and_grads():
+    from simhand_tpu.losses import linear_weights, weighted_nt_xent
+    from simhand_tpu.losses.pallas_ntxent import weighted_nt_xent_pallas
+
+    rng = np.random.default_rng(9)
+    B = COL_TILE
+    z1 = jnp.asarray(normalize(rng.normal(size=(B, 128))), jnp.float32)
+    z2 = jnp.asarray(normalize(rng.normal(size=(B, 128))), jnp.float32)
+    j1 = jnp.asarray(rng.uniform(0, 128, (B, 21, 2)), jnp.float32)
+    j2 = jnp.asarray(rng.uniform(0, 128, (B, 21, 2)), jnp.float32)
+
+    pw, nw = linear_weights(j1, j2, "mpjpe")
+    want = float(weighted_nt_xent(z1, z2, pw, nw, T))
+
+    joints = jnp.concatenate([j1, j2])
+    d = np.linalg.norm(
+        np.asarray(joints)[:, None] - np.asarray(joints)[None, :], axis=-1
+    ).mean(-1)
+    minmax = jnp.asarray([d.max(), d.min()], jnp.float32)
+    got = float(
+        weighted_nt_xent_pallas(z1, z2, joints, pw, minmax, T, True)
+    )
+    assert got == pytest.approx(want, rel=1e-4)
+
+    g_want = jax.grad(
+        lambda a, b: weighted_nt_xent(a, b, pw, nw, T), argnums=(0, 1)
+    )(z1, z2)
+    g_got = jax.grad(
+        lambda a, b: weighted_nt_xent_pallas(a, b, joints, pw, minmax, T, True),
+        argnums=(0, 1),
+    )(z1, z2)
+    for gw, gg in zip(g_want, g_got):
+        np.testing.assert_allclose(
+            np.asarray(gg), np.asarray(gw), rtol=1e-3, atol=1e-7
+        )

@@ -74,6 +74,11 @@ class ContrastiveConfig:
     pca_dim: int = 14
     non_linear_lambda_pos: float = 5.0
     non_linear_lambda_neg: float = 0.05
+    # Use the pallas fused custom-VJP kernels (losses/pallas_ntxent.py)
+    # instead of the XLA path. Single-device path; requires 2B divisible
+    # by the kernel tiles. Covers plain NT-Xent and the linear/mpjpe
+    # pos_neg weighted loss (the flagship simhand_w config).
+    use_pallas: bool = False
 
     def __post_init__(self):
         assert self.experiment_type in EXPERIMENT_TYPES, self.experiment_type
@@ -181,6 +186,43 @@ def contrastive_loss_from_projections(
       (loss, (z1, z2)).
     """
     z1, z2 = transformed_projections(projections, batch, cfg)
+
+    n_rows = 2 * z1.shape[0]
+    if cfg.use_pallas and axis_name is None and n_rows % 512 == 0:
+        from simhand_tpu.losses.pallas_ntxent import (
+            nt_xent_pallas,
+            weighted_nt_xent_pallas,
+        )
+
+        # compiled kernels on TPU; interpreter elsewhere (tests/CPU)
+        interp = jax.default_backend() != "tpu"
+
+        if cfg.experiment_type not in _WEIGHTED:
+            return nt_xent_pallas(z1, z2, cfg.temperature, interp), (z1, z2)
+        if (cfg.weight_type, cfg.diff_type, cfg.pos_neg, cfg.use_pca) == (
+            "linear", "mpjpe", "pos_neg", False,
+        ):
+            key = "ori" if cfg.joints_type == "original" else "aug"
+            j1 = batch[f"joints1_{key}"][..., :2]
+            j2 = batch[f"joints2_{key}"][..., :2]
+            joints = jnp.concatenate([j1, j2])
+            from simhand_tpu.losses.weights import _pair_distance
+
+            pos_d = _pair_distance(j1, j2, "mpjpe")
+            # global min/max of the pairwise matrix — the pos min/max and
+            # matrix min/max are computed on the same statistics set
+            from simhand_tpu.losses.weights import _pairwise_matrix
+
+            neg_d = _pairwise_matrix(joints, joints, "mpjpe")
+            d_max, d_min = jnp.max(neg_d), jnp.min(neg_d)
+            pw = (jnp.max(pos_d) - pos_d) / (jnp.max(pos_d) - jnp.min(pos_d))
+            minmax = jnp.stack([d_max, d_min])
+            loss = weighted_nt_xent_pallas(
+                z1, z2, joints, pw, minmax, cfg.temperature, interp
+            )
+            return loss, (z1, z2)
+        # other weighted configs fall through to the XLA path
+
     if cfg.experiment_type in _WEIGHTED:
         pw, nw = adaptive_weights(batch, cfg, axis_name)
         if cfg.pos_neg == "pos_neg":

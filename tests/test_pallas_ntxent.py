@@ -149,3 +149,39 @@ def test_weighted_nt_xent_pallas_matches_xla_loss_and_grads():
         np.testing.assert_allclose(
             np.asarray(gg), np.asarray(gw), rtol=1e-3, atol=1e-7
         )
+
+
+def test_contrastive_step_use_pallas_matches_xla():
+    """ContrastiveConfig(use_pallas=True) loss == the XLA path, for both
+    the plain and the flagship weighted config."""
+    from simhand_tpu.models.contrastive import (
+        ContrastiveConfig,
+        contrastive_loss_from_projections,
+    )
+
+    rng = np.random.default_rng(11)
+    B = 256  # 2B = 512, divisible by the kernel tiles
+    proj = jnp.asarray(rng.normal(size=(2 * B, 128)), jnp.float32)
+    batch = {
+        "jitter_x_1": jnp.asarray(rng.uniform(-10, 0, B), jnp.float32),
+        "jitter_x_2": jnp.asarray(rng.uniform(-10, 0, B), jnp.float32),
+        "jitter_y_1": jnp.asarray(rng.uniform(-10, 0, B), jnp.float32),
+        "jitter_y_2": jnp.asarray(rng.uniform(-10, 0, B), jnp.float32),
+        "angle_1": jnp.asarray(rng.uniform(-45, 45, B), jnp.float32),
+        "angle_2": jnp.asarray(rng.uniform(-45, 45, B), jnp.float32),
+        "joints1_aug": jnp.asarray(rng.uniform(0, 128, (B, 21, 3)), jnp.float32),
+        "joints2_aug": jnp.asarray(rng.uniform(0, 128, (B, 21, 3)), jnp.float32),
+    }
+    for etype in ("simclr", "simhand_w"):
+        kw = dict(
+            experiment_type=etype, augmentation=("crop", "rotate", "resize"),
+            weight_type="linear", diff_type="mpjpe", pos_neg="pos_neg",
+            joints_type="aug",
+        )
+        want, _ = contrastive_loss_from_projections(
+            proj, batch, ContrastiveConfig(**kw)
+        )
+        got, _ = contrastive_loss_from_projections(
+            proj, batch, ContrastiveConfig(use_pallas=True, **kw)
+        )
+        assert float(got) == pytest.approx(float(want), rel=1e-4), etype

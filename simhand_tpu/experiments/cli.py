@@ -83,6 +83,9 @@ def get_general_args(
     parser.add_argument("--profile_dir", type=str, default=None, help="TPU: write an xplane profiler trace here")
     parser.add_argument("--device_augment", action="store_true", default=False,
                         help="TPU: run the augmentation chain fused on-device")
+    parser.add_argument("--use_pallas", action="store_true", default=False,
+                        help="TPU: fused pallas custom-VJP contrastive kernels "
+                             "(single-chip path)")
     parser.add_argument("--cache_dir", type=str, default=None,
                         help="TPU: packed-crop cache dir (built on first use); "
                              "removes per-step JPEG decode from the input path")

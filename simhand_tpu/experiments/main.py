@@ -170,6 +170,7 @@ def main(argv=None):
         use_pca=bool(model_param.get("use_pca", False)),
         non_linear_lambda_pos=float(model_param.get("non_linear_lambda_pos", 5.0)),
         non_linear_lambda_neg=float(model_param.get("non_linear_lambda_neg", 0.05)),
+        use_pallas=bool(args.use_pallas),
     )
 
     mesh = create_mesh() if len(jax.devices()) > 1 else None

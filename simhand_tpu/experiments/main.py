@@ -123,6 +123,12 @@ def main(argv=None):
         noise_std=float(ap["noise_std"]),
     )
     experiment_type = args.experiment_type or "simclr"
+    # README-documented aliases the reference's get_model never handled
+    # (SURVEY §2.11): handclr(_w) == simhand(_w).
+    experiment_type = {
+        "handclr": "simhand", "handclr_w": "simhand_w",
+        "simhand-v0": "simhand",
+    }.get(experiment_type, experiment_type)
     dataset = PretrainDataset(source, experiment_type, flags, params, seed=seed)
 
     # ---------------- model ----------------

@@ -148,3 +148,23 @@ def test_grad_accumulation_multisteps():
     assert not np.allclose(
         np.asarray(jax.tree.leaves(state.params)[0]), np.asarray(params_before)
     )
+
+
+def test_sharded_weighted_eval_matches_single_device():
+    """simhand_w (equivariance + adaptive weights + global stats) sharded
+    over 8 devices == single-device full batch."""
+    model = ContrastiveModel(resnet_size="18")
+    state = make_state(model)
+    cfg = ContrastiveConfig(
+        experiment_type="simhand_w", augmentation=("crop", "rotate", "resize"),
+        image_side=32.0, weight_type="linear", diff_type="mpjpe",
+        pos_neg="pos_neg", joints_type="original",
+    )
+    rng = np.random.default_rng(17)
+    batch = synthetic_batch(rng, B=16)
+
+    want = float(make_eval_step(model, cfg, mesh=None)(state, batch)["contrastive_loss"])
+    got = float(
+        make_eval_step(model, cfg, mesh=create_mesh())(state, batch)["contrastive_loss"]
+    )
+    assert got == pytest.approx(want, rel=1e-4)

@@ -92,9 +92,13 @@ class ContrastiveModel(nn.Module):
     proj_output_dim: int = 128
     dtype: Any = jnp.float32
     remat: bool = False   # rematerialize encoder activations (bigger batch)
+    # sync BN stats over this mesh axis (cross-replica BN); None matches
+    # the reference's per-replica DataParallel statistics.
+    bn_axis_name: str | None = None
 
     def setup(self):
         enc_cls = RESNETS[self.resnet_size]
+        enc_kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
         if self.remat:
             # static_argnums indexes (module, x, train) — `train` must be
             # static (BN mode) and passed positionally below.
@@ -103,11 +107,11 @@ class ContrastiveModel(nn.Module):
                 static_argnums=(2,),
             )
             self.encoder = enc_cls(
-                **{**RESNETS[self.resnet_size].keywords, "dtype": self.dtype},
+                **{**RESNETS[self.resnet_size].keywords, **enc_kw},
                 name="encoder",
             )
         else:
-            self.encoder = enc_cls(dtype=self.dtype, name="encoder")
+            self.encoder = enc_cls(**enc_kw, name="encoder")
         self.projection_head = ProjectionHead(
             hidden_dim=self.proj_hidden_dim,
             output_dim=self.proj_output_dim,

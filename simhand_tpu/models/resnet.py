@@ -97,6 +97,10 @@ class ResNet(nn.Module):
     pool: bool = True
     norm_momentum: float = 0.9
     norm_epsilon: float = 1e-5
+    # Cross-replica BN: sync batch statistics over this mesh axis (inside
+    # shard_map). None = per-replica stats, matching the reference's
+    # DataParallel behavior (SURVEY.md hard part 4).
+    bn_axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -110,7 +114,7 @@ class ResNet(nn.Module):
             epsilon=self.norm_epsilon,
             dtype=self.dtype,
             param_dtype=jnp.float32,
-            axis_name=None,
+            axis_name=self.bn_axis_name if train else None,
         )
 
         x = x.astype(self.dtype)

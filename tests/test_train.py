@@ -168,3 +168,17 @@ def test_sharded_weighted_eval_matches_single_device():
         make_eval_step(model, cfg, mesh=create_mesh())(state, batch)["contrastive_loss"]
     )
     assert got == pytest.approx(want, rel=1e-4)
+
+
+def test_cross_replica_bn_trains_on_mesh():
+    """bn_axis_name='data' syncs BN statistics over the mesh; the sharded
+    train step still runs and produces finite loss."""
+    model = ContrastiveModel(resnet_size="18", bn_axis_name="data")
+    state = make_state(model)
+    cfg = ContrastiveConfig(experiment_type="simclr", image_side=32.0)
+    mesh = create_mesh()
+    step = make_train_step(model, cfg, mesh=mesh)
+    rng = np.random.default_rng(23)
+    batch = synthetic_batch(rng, B=16)
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["contrastive_loss"]))

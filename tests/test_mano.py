@@ -137,3 +137,45 @@ def test_one_euro_filter_smooths():
     signal = np.sin(np.linspace(0, 4, 120)) + 0.2 * rng.standard_normal(120)
     smooth = np.array([f.process(np.array([s]))[0] for s in signal])
     assert np.var(np.diff(smooth)) < np.var(np.diff(signal))
+
+
+def test_lm_fit_recovers_shape(mano):
+    from simhand_tpu.finetune.lm_fit import align_bone_len, lm_fit_shape
+    from simhand_tpu.finetune.mano import relative_bone_lengths
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    beta_true = rng.uniform(-1, 1, 10).astype(np.float32)
+    target = np.asarray(
+        relative_bone_lengths(mano, jnp.asarray(beta_true)[None])
+    )[0]
+    beta_fit, cost = lm_fit_shape(mano, target, n_iters=25)
+    got = np.asarray(relative_bone_lengths(mano, jnp.asarray(beta_fit)[None]))[0]
+    assert align_bone_len(got, target) < 0.02
+    assert cost < 1e-2
+
+
+def test_reconstruct_joints_close_to_prediction(mano):
+    """AIK+MANO reconstruction approximates the input joints (global
+    rotation case is exact; bent fingers approximate)."""
+    import jax.numpy as jnp
+
+    from simhand_tpu.core.joints import JointMap
+    from simhand_tpu.finetune.aik import axangle2mat
+    from simhand_tpu.finetune.recon import reconstruct
+
+    jm = JointMap()
+    beta = jnp.zeros((1, 10))
+    R = axangle2mat(np.array([0.2, 1.0, 0.1]), 0.6)
+    pose = jnp.broadcast_to(jnp.eye(3), (1, 16, 3, 3)).at[:, 0].set(
+        jnp.asarray(R, jnp.float32)
+    )
+    _, target21 = mano(pose, beta)
+    target_ait = jm.mano_to_ait(np.asarray(target21[0]))
+
+    _, rec21, _, _ = reconstruct(mano, target_ait, beta=np.zeros(10))
+    # compare bone-normalized shapes
+    t = np.asarray(target21[0]); r = rec21
+    t = (t - t[0]) / (np.linalg.norm(t[4] - t[0]) + 1e-9)
+    r = (r - r[0]) / (np.linalg.norm(r[4] - r[0]) + 1e-9)
+    assert np.abs(t - r).max() < 0.2

@@ -55,7 +55,8 @@ def main():
 
     device = jax.devices()[0]
 
-    model = ContrastiveModel(resnet_size="50", dtype=jnp.bfloat16)
+    stem = os.environ.get("BENCH_STEM", "conv7")
+    model = ContrastiveModel(resnet_size="50", dtype=jnp.bfloat16, stem=stem)
     opt_cfg = OptimizerConfig(train_iters_per_epoch=1000, epochs=100, warmup_epochs=10)
     state = create_train_state(
         model, opt_cfg, jax.random.key(0), input_shape=(2, side, side, 3)

@@ -95,10 +95,14 @@ class ContrastiveModel(nn.Module):
     # sync BN stats over this mesh axis (cross-replica BN); None matches
     # the reference's per-replica DataParallel statistics.
     bn_axis_name: str | None = None
+    # "conv7" (torch-compatible) or "space_to_depth" (MLPerf TPU stem)
+    stem: str = "conv7"
 
     def setup(self):
         enc_cls = RESNETS[self.resnet_size]
-        enc_kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        enc_kw = dict(
+            dtype=self.dtype, bn_axis_name=self.bn_axis_name, stem=self.stem
+        )
         if self.remat:
             # static_argnums indexes (module, x, train) — `train` must be
             # static (BN mode) and passed positionally below.

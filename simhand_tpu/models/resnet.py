@@ -101,6 +101,12 @@ class ResNet(nn.Module):
     # shard_map). None = per-replica stats, matching the reference's
     # DataParallel behavior (SURVEY.md hard part 4).
     bn_axis_name: str | None = None
+    # "conv7": torchvision stem (7x7/2 conv — torch-checkpoint
+    # compatible). "space_to_depth": the MLPerf TPU stem — mathematically
+    # the same linear map expressed as a 4x4 stride-1 conv on the
+    # space-to-depth(2) input, which tiles far better onto the MXU than a
+    # 3-channel 7x7. Convert torch weights via s2d_stem_kernel().
+    stem: str = "conv7"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -118,7 +124,13 @@ class ResNet(nn.Module):
         )
 
         x = x.astype(self.dtype)
-        x = conv(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], name="conv1")(x)
+        if self.stem == "space_to_depth":
+            x = space_to_depth(x, 2)
+            x = conv(
+                64, (4, 4), (1, 1), padding=[(2, 1), (2, 1)], name="conv1_s2d"
+            )(x)
+        else:
+            x = conv(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], name="conv1")(x)
         x = norm(name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
@@ -137,6 +149,36 @@ class ResNet(nn.Module):
         if self.pool:
             x = jnp.mean(x, axis=(1, 2))  # (N, C) global average pool
         return x.astype(jnp.float32)
+
+
+def space_to_depth(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
+    """(N, H, W, C) -> (N, H/b, W/b, b*b*C); channel order (py, px, c)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // block, block, w // block, block, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        n, h // block, w // block, block * block * c
+    )
+
+
+def s2d_stem_kernel(w7: jnp.ndarray) -> jnp.ndarray:
+    """Rearranges a (7, 7, C, O) stride-2 stem kernel into the equivalent
+    (4, 4, 4*C, O) kernel for the space-to-depth stem.
+
+    Derivation: output(y,x) = sum_{dy,dx} W[dy,dx] I[2y+dy-3, 2x+dx-3].
+    Writing dy-3 = 2a + py (py in {0,1}) maps each 7x7 tap onto a 4x4
+    stride-1 conv over the s2d tensor with channel layout (py, px, c).
+    The inverse direction is exact only while the padded taps stay zero.
+    """
+    c, o = w7.shape[2], w7.shape[3]
+    w2 = jnp.zeros((4, 4, 2, 2, c, o), w7.dtype)
+    for dy in range(7):
+        a, py = divmod(dy - 3 + 4, 2)  # shift +4 so divmod stays positive
+        a -= 2
+        for dx in range(7):
+            b, px = divmod(dx - 3 + 4, 2)
+            b -= 2
+            w2 = w2.at[a + 2, b + 2, py, px].set(w7[dy, dx])
+    return w2.reshape(4, 4, 4 * c, o)
 
 
 resnet18 = partial(ResNet, stage_sizes=(2, 2, 2, 2), block=BasicBlock)

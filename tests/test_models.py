@@ -211,3 +211,31 @@ def test_simhand_w_full_pipeline_matches_numpy_oracle():
         jnp.asarray(proj, jnp.float32), batch, cfg
     )
     assert float(got) == pytest.approx(want, rel=1e-4)
+
+
+def test_space_to_depth_stem_equivalence():
+    """s2d stem kernel rearrangement == the 7x7/2 torchvision stem."""
+    from simhand_tpu.models.resnet import s2d_stem_kernel, space_to_depth
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    w7 = jnp.asarray(rng.normal(size=(7, 7, 3, 16)).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x.transpose(0, 3, 1, 2), w7.transpose(3, 2, 0, 1), (2, 2),
+        [(3, 3), (3, 3)],
+    )
+    got = jax.lax.conv_general_dilated(
+        space_to_depth(x, 2).transpose(0, 3, 1, 2),
+        s2d_stem_kernel(w7).transpose(3, 2, 0, 1), (1, 1), [(2, 1), (2, 1)],
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_resnet_s2d_stem_shapes():
+    from simhand_tpu.models.resnet import resnet18
+
+    model = resnet18(stem="space_to_depth")
+    v = model.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    out = model.apply(v, jnp.zeros((1, 64, 64, 3)))
+    assert out.shape == (1, 512)
+    assert "conv1_s2d" in v["params"]

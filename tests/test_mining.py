@@ -99,3 +99,14 @@ def test_mining_cli_end_to_end(tmp_path):
     assert got == want
     # distances present and finite
     assert all(np.isfinite(a["distance"][0]) for a in mined["annotations"])
+
+
+def test_topk_handles_non_divisible_sizes():
+    rng = np.random.default_rng(7)
+    N = 57  # not divisible by chunks — exercises padding paths
+    kp = rng.uniform(0, 1, size=(N, 21, 2)).astype(np.float32)
+    vids = rng.integers(0, 5, size=N).astype(np.int32)
+    want_d, want_i = brute_force(kp, vids, 2)
+    got_d, got_i = mine_similar_hands(kp, vids, k=2, query_chunk=10, db_chunk=16)
+    np.testing.assert_array_equal(got_i, want_i)
+    np.testing.assert_allclose(got_d, want_d, rtol=1e-4, atol=1e-6)

@@ -191,3 +191,54 @@ def test_device_augment_train_step_end_to_end():
     )
     state, metrics = step(state, raw)
     assert np.isfinite(float(metrics["contrastive_loss"]))
+
+
+def test_device_vs_host_pipeline_statistics():
+    """Distribution-level parity: the fused device chain and the cv2 host
+    chain produce augmented batches with matching per-channel statistics
+    (geometry + color jitter), so training on either path sees the same
+    input distribution."""
+    from simhand_tpu.data.augment import prepare_views
+    from simhand_tpu.data.pipeline import PretrainDataset
+
+    rng = np.random.default_rng(21)
+    B = 48
+    # smooth synthetic crops with hands in the center
+    yy, xx = np.mgrid[0:224, 0:224].astype(np.float32)
+    base = np.stack([xx, yy, (xx + yy) / 2], -1) / 448 * 255
+    imgs = np.stack([
+        np.clip(base + rng.normal(0, 20, (224, 224, 3)), 0, 255)
+        for _ in range(B)
+    ]).astype(np.uint8)
+    joints = rng.uniform(70, 150, (B, 21, 3)).astype(np.float32)
+    flags = AugmentFlags(crop=True, resize=True, rotate=True, color_jitter=True)
+    params = AugmentParams()
+
+    # host path
+    host = HostAugmenter(flags, params)
+    host_out = np.stack([
+        host.transform(imgs[i], joints[i], np.random.default_rng(i))[0]
+        for i in range(B)
+    ])
+    from simhand_tpu.data.pipeline import normalize_image
+    host_out = np.stack([normalize_image(h) for h in host_out])
+
+    # device path
+    raw = {
+        "image1": jnp.asarray(imgs), "image2": jnp.asarray(imgs),
+        "joints1": jnp.asarray(joints), "joints2": jnp.asarray(joints),
+        "joints_raw1": jnp.asarray(joints / 224), "joints_raw2": jnp.asarray(joints / 224),
+    }
+    dev = np.asarray(
+        prepare_views(raw, jax.random.key(0), flags, params, 128)[
+            "transformed_image1"
+        ]
+    )
+
+    # same output statistics (ImageNet-normalized space)
+    np.testing.assert_allclose(
+        dev.mean(axis=(0, 1, 2)), host_out.mean(axis=(0, 1, 2)), atol=0.25
+    )
+    np.testing.assert_allclose(
+        dev.std(axis=(0, 1, 2)), host_out.std(axis=(0, 1, 2)), atol=0.3
+    )

@@ -157,55 +157,101 @@ class DexYCB:
 
 
 class AssemblyHandsEgo:
-    """AssemblyHands egocentric split via its COCO-style v1-1 annotations
-    (reference: minimal-hand/datasets/assembly_hands.py + the ego crop
-    preprocessing: hand crops are cut around the keypoint bbox with the
-    intrinsics updated, data_loader/utils.py:422-457 semantics)."""
+    """AssemblyHands egocentric split via the official v1-1 annotation
+    triplet (reference: minimal-hand/datasets/assembly_hands.py:140-250):
 
-    CROP_SCALE = 1.5
+      annotations/<split>/assemblyhands_<split>_ego_data_v1-1.json
+          COCO-style: images (seq_name/camera/frame_idx/file_name),
+          annotations (image_id, per-hand bbox, joint_valid of 42)
+      assemblyhands_<split>_ego_calib_v1-1.json
+          per-seq intrinsics/extrinsics keyed <camera>_mono10bit
+      assemblyhands_<split>_joint_3d_v1-1.json
+          per-seq/frame 42-joint world coordinates (mm)
+
+    Each annotated hand with a bbox becomes one sample: world joints are
+    projected through the frame's camera (x_cam = R x + t), the crop is
+    cut around the bbox at scale 1.75 with the intrinsics updated.
+    """
+
+    CROP_SCALE = 1.75
     CROP_SIZE = 224
+    NUM_JOINTS = 21
 
     def __init__(self, root_dir: str, split: str = "train", crop: bool = True):
-        self.crop = crop
-        anno = os.path.join(
-            root_dir, "annotations", split,
-            f"assemblyhands_{split}_ego_data_v1-1.json",
-        )
-        with open(anno) as f:
-            data = json.load(f)
         self.root = root_dir
+        self.crop = crop
+        anno_dir = os.path.join(root_dir, "annotations", split)
+        with open(os.path.join(
+                anno_dir, f"assemblyhands_{split}_ego_data_v1-1.json")) as f:
+            data = json.load(f)
+        with open(os.path.join(
+                anno_dir, f"assemblyhands_{split}_ego_calib_v1-1.json")) as f:
+            self.calib = json.load(f)["calibration"]
+        with open(os.path.join(
+                anno_dir, f"assemblyhands_{split}_joint_3d_v1-1.json")) as f:
+            self.joints3d = json.load(f)["annotations"]
+
         self.images = {img["id"]: img for img in data["images"]}
-        self.annotations = [
-            a for a in data["annotations"] if "joints_3d" in a or "keypoints" in a
-        ]
+        self.samples: list[tuple[dict, str]] = []
+        for ann in data["annotations"]:
+            for hand in ("right", "left"):
+                bbox = (ann.get("bbox") or {}).get(hand)
+                if bbox is not None:
+                    self.samples.append((ann, hand))
 
     def __len__(self):
-        return len(self.annotations)
+        return len(self.samples)
+
+    def _camera(self, img_rec):
+        seq, cam = str(img_rec["seq_name"]), img_rec["camera"]
+        frame = f"{img_rec['frame_idx']:06d}"
+        K = np.asarray(
+            self.calib[seq]["intrinsics"][cam + "_mono10bit"], np.float32
+        )
+        Rt = np.asarray(
+            self.calib[seq]["extrinsics"][frame][cam + "_mono10bit"], np.float32
+        )
+        return K, Rt[:, :3], Rt[:, 3]
 
     def __getitem__(self, i: int) -> dict:
         import cv2
 
-        a = self.annotations[i]
-        rec = self.images[a["image_id"]]
+        from simhand_tpu.core.joints import ah_to_mano
+        from simhand_tpu.data.crops import crop_and_resize_via_joints
+
+        ann, hand = self.samples[i]
+        img_rec = self.images[ann["image_id"]]
         img = cv2.cvtColor(
-            cv2.imread(os.path.join(self.root, "images", rec["file_name"])),
+            cv2.imread(os.path.join(self.root, "images", img_rec["file_name"])),
             cv2.COLOR_BGR2RGB,
         )
-        K = np.asarray(rec.get("cam_param", {}).get("K", np.eye(3)), np.float32)
-        joint = None
-        if "joints_3d" in a:
-            joint = np.asarray(a["joints_3d"], np.float32).reshape(21, 3)
-            joint = _JM.mano_to_ait(joint)
-        kp = np.asarray(
-            a.get("keypoints", np.zeros(63)), np.float32
-        ).reshape(21, -1)[:, :2]
-        if self.crop and kp.any():
-            from simhand_tpu.data.crops import crop_and_resize_via_joints
+        K, R, t = self._camera(img_rec)
+        seq = str(img_rec["seq_name"])
+        frame = f"{img_rec['frame_idx']:06d}"
+        world = np.asarray(
+            self.joints3d[seq][frame]["world_coord"], np.float32
+        ).reshape(-1, 3)
+        cam_xyz = world @ R.T + t
 
-            img, kp, K = crop_and_resize_via_joints(
-                img, kp, self.CROP_SIZE, self.CROP_SCALE, K
+        half = slice(0, 21) if hand == "right" else slice(21, 42)
+        joint_ah = cam_xyz[half] / 1000.0  # mm -> m
+        uvw = joint_ah @ K.T
+        kp2d = (uvw[:, :2] / np.maximum(uvw[:, 2:], 1e-9)).astype(np.float32)
+        if hand == "left":
+            # mirror to a right hand like the pre-train loaders: flip x
+            img = cv2.flip(img, 1)
+            kp2d[:, 0] = img.shape[1] - kp2d[:, 0]
+            K = K.copy()
+            K[0, 2] = img.shape[1] - K[0, 2]
+            joint_ah = joint_ah * np.array([-1.0, 1.0, 1.0], np.float32)
+
+        joint = _JM.mano_to_ait(ah_to_mano(joint_ah))
+        kp2d = _JM.mano_to_ait(ah_to_mano(kp2d))
+        if self.crop and kp2d.any():
+            img, kp2d, K = crop_and_resize_via_joints(
+                img, kp2d, self.CROP_SIZE, self.CROP_SCALE, K
             )
-        return {"image": img, "K": K, "joint": joint, "kp2d": kp}
+        return {"image": img, "K": K, "joint": joint, "kp2d": kp2d}
 
 
 class Ego4DHands2D:

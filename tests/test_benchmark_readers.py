@@ -127,3 +127,56 @@ def test_cmu_hand_labels_reader(tmp_path):
     s = ds[0]
     assert s["kp2d"].shape == (21, 2)
     assert s["joint"] is None
+
+
+def test_assemblyhands_reader(tmp_path):
+    import json as _json
+
+    from simhand_tpu.finetune.benchmarks import AssemblyHandsEgo
+
+    root = tmp_path / "ah"
+    anno = root / "annotations" / "train"
+    anno.mkdir(parents=True)
+    (root / "images").mkdir()
+    rng = np.random.default_rng(3)
+
+    K = [[400.0, 0, 320], [0, 400.0, 240], [0, 0, 1]]
+    Rt = np.hstack([np.eye(3), np.zeros((3, 1))]).tolist()
+    world = (rng.uniform(-50, 50, (42, 3)) + np.array([0, 0, 600])).tolist()
+
+    data = {
+        "images": [{
+            "id": 0, "seq_name": "seqA", "camera": "cam0", "frame_idx": 7,
+            "file_name": "f.jpg", "width": 640, "height": 480,
+        }],
+        "annotations": [{
+            "id": 0, "image_id": 0,
+            "bbox": {"right": [100, 100, 300, 300], "left": None},
+            "joint_valid": [1] * 42,
+        }],
+    }
+    calib = {"calibration": {"seqA": {
+        "intrinsics": {"cam0_mono10bit": K},
+        "extrinsics": {"000007": {"cam0_mono10bit": Rt}},
+    }}}
+    joints = {"annotations": {"seqA": {"000007": {"world_coord": world}}}}
+
+    with open(anno / "assemblyhands_train_ego_data_v1-1.json", "w") as f:
+        _json.dump(data, f)
+    with open(anno / "assemblyhands_train_ego_calib_v1-1.json", "w") as f:
+        _json.dump(calib, f)
+    with open(anno / "assemblyhands_train_joint_3d_v1-1.json", "w") as f:
+        _json.dump(joints, f)
+    cv2.imwrite(str(root / "images" / "f.jpg"),
+                rng.integers(0, 255, (480, 640, 3), dtype=np.uint8))
+
+    ds = AssemblyHandsEgo(str(root), "train")
+    assert len(ds) == 1  # left bbox is None
+    s = ds[0]
+    assert s["image"].shape == (224, 224, 3)
+    assert s["joint"].shape == (21, 3)
+    assert s["kp2d"].shape == (21, 2)
+    # reprojection through the updated K matches the cropped kp2d
+    uvw = s["joint"] @ s["K"].T
+    reproj = uvw[:, :2] / uvw[:, 2:]
+    np.testing.assert_allclose(reproj, s["kp2d"], atol=2.0)

@@ -233,16 +233,17 @@ def _ntxent_grad_kernel(rows_ref, cols_ref, inv_rows_ref, inv_cols_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _ntxent_grad(z: Array, inv_neg: Array, temperature: float,
+def _ntxent_grad(z_rows: Array, z_cols: Array, inv_rows: Array,
+                 inv_cols: Array, row_ids: Array, temperature: float,
                  interpret: bool = False) -> Array:
-    """Denominator gradient for all 2N rows (rows == cols == z)."""
-    N, D = z.shape
-    assert N % ROW_TILE == 0 and N % COL_TILE == 0, N
-    ids = jnp.arange(N, dtype=jnp.int32).reshape(N, 1)
-    grid = (N // ROW_TILE, N // COL_TILE)
+    """Denominator gradient for the given rows against global cols."""
+    M, D = z_rows.shape
+    N = z_cols.shape[0]
+    assert M % ROW_TILE == 0 and N % COL_TILE == 0, (M, N)
+    grid = (M // ROW_TILE, N // COL_TILE)
     return pl.pallas_call(
         _ntxent_grad_kernel,
-        out_shape=jax.ShapeDtypeStruct((N, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((M, D), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
@@ -258,7 +259,8 @@ def _ntxent_grad(z: Array, inv_neg: Array, temperature: float,
             scratch_shapes=[pltpu.VMEM((ROW_TILE, D), jnp.float32)],
         ),
         interpret=interpret,
-    )(z, z, inv_neg.reshape(N, 1), inv_neg.reshape(N, 1), ids,
+    )(z_rows, z_cols, inv_rows.reshape(M, 1), inv_cols.reshape(N, 1),
+      row_ids.astype(jnp.int32).reshape(M, 1),
       jnp.full((1,), temperature, jnp.float32))
 
 
@@ -293,7 +295,10 @@ def _nt_xent_pallas_bwd(temperature, interpret, res, g):
     b = z1.shape[0]
     n = 2 * b
     z = jnp.concatenate([z1, z2], axis=0)
-    denom_grad = _ntxent_grad(z, 1.0 / neg, temperature, interpret=interpret)
+    ids = jnp.arange(n, dtype=jnp.int32)
+    denom_grad = _ntxent_grad(
+        z, z, 1.0 / neg, 1.0 / neg, ids, temperature, interpret=interpret
+    )
     # dL/dz_m = (1/(2N T)) * [denom_grad_m - 2 * z_partner(m)]
     partner = jnp.concatenate([z2, z1], axis=0)
     dz = (denom_grad - 2.0 * partner) / (n * temperature)
@@ -444,3 +449,76 @@ def _weighted_pallas_bwd(temperature, interpret, res, g):
 
 
 weighted_nt_xent_pallas.defvjp(_weighted_pallas_fwd, _weighted_pallas_bwd)
+
+
+# --------------------------------------------------------------------------
+# Sharded (global-batch) pallas NT-Xent: rows local, columns all-gathered
+# --------------------------------------------------------------------------
+
+def make_sharded_nt_xent_pallas(axis_name: str, temperature: float = 0.5,
+                                interpret: bool = False):
+    """Global-batch NT-Xent where every device streams its row-shard
+    against the all-gathered column set through the pallas kernels —
+    forward AND backward — without ever materializing a (2N, 2N) plane.
+
+    Returns a function (z1_local, z2_local) -> scalar loss for use inside
+    shard_map over ``axis_name``. Semantics match losses.contrastive.
+    nt_xent(axis_name=...); per-row gradients are complete locally (the
+    similarity matrix is symmetric, so the row pass with global 1/neg
+    captures both the row and column contributions) — no gradient psum.
+    """
+
+    @jax.custom_vjp
+    def loss_fn(z1, z2):
+        loss, _ = fwd(z1, z2)
+        return loss
+
+    def _gather_state(z1, z2):
+        b = z1.shape[0]
+        idx = jax.lax.axis_index(axis_name)
+        world = jax.lax.axis_size(axis_name)
+        n_global = b * world
+        z_local = jnp.concatenate([z1, z2], axis=0)
+        z1_all = jax.lax.all_gather(z1, axis_name, axis=0, tiled=True)
+        z2_all = jax.lax.all_gather(z2, axis_name, axis=0, tiled=True)
+        z_cols = jnp.concatenate([z1_all, z2_all], axis=0)
+        local = jnp.arange(b, dtype=jnp.int32)
+        row_ids = jnp.concatenate(
+            [local + idx * b, local + idx * b + n_global]
+        )
+        return z_local, z_cols, row_ids
+
+    def fwd(z1, z2):
+        z_local, z_cols, row_ids = _gather_state(z1, z2)
+        neg_local = ntxent_denominator(
+            z_local, z_cols, row_ids, temperature, interpret=interpret
+        )
+        pos = jnp.sum(z1 * z2, axis=-1) / temperature
+        pos2 = jnp.concatenate([pos, pos])
+        loss = jax.lax.pmean(
+            jnp.mean(jnp.log(neg_local) - pos2), axis_name
+        )
+        return loss, (z1, z2, neg_local)
+
+    def bwd(res, g):
+        z1, z2, neg_local = res
+        b = z1.shape[0]
+        world = jax.lax.axis_size(axis_name)
+        n_global = 2 * b * world
+        z_local, z_cols, row_ids = _gather_state(z1, z2)
+        # global 1/neg, ordered like the columns ([neg1_all; neg2_all])
+        inv_local = 1.0 / neg_local
+        inv1 = jax.lax.all_gather(inv_local[:b], axis_name, axis=0, tiled=True)
+        inv2 = jax.lax.all_gather(inv_local[b:], axis_name, axis=0, tiled=True)
+        inv_cols = jnp.concatenate([inv1, inv2])
+        denom_grad = _ntxent_grad(
+            z_local, z_cols, inv_local, inv_cols, row_ids, temperature,
+            interpret=interpret,
+        )
+        partner = jnp.concatenate([z2, z1], axis=0)
+        dz = (denom_grad - 2.0 * partner) / (n_global * temperature)
+        dz = dz * g
+        return dz[:b], dz[b:]
+
+    loss_fn.defvjp(fwd, bwd)
+    return loss_fn

@@ -185,3 +185,46 @@ def test_contrastive_step_use_pallas_matches_xla():
             proj, batch, ContrastiveConfig(use_pallas=True, **kw)
         )
         assert float(got) == pytest.approx(float(want), rel=1e-4), etype
+
+
+def test_sharded_pallas_nt_xent_matches_xla_sharded():
+    """The sharded pallas loss (rows local, columns gathered, custom VJP
+    with collectives) matches the XLA global-batch nt_xent in value AND
+    gradient on the 8-device mesh."""
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from simhand_tpu.losses import nt_xent
+    from simhand_tpu.losses.pallas_ntxent import make_sharded_nt_xent_pallas
+
+    rng = np.random.default_rng(31)
+    B = 2 * COL_TILE  # per-device 2B/8 = 256 rows, divisible by tiles
+    z1 = jnp.asarray(normalize(rng.normal(size=(B, 128))), jnp.float32)
+    z2 = jnp.asarray(normalize(rng.normal(size=(B, 128))), jnp.float32)
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    pallas_loss = make_sharded_nt_xent_pallas("data", T, interpret=True)
+
+    sharded = jax.jit(
+        shard_map(
+            pallas_loss, mesh=mesh, in_specs=(P("data"), P("data")),
+            out_specs=P(), check_vma=False,
+        )
+    )
+    want = float(nt_xent(z1, z2, T))
+    got = float(sharded(z1, z2))
+    assert got == pytest.approx(want, rel=1e-5)
+
+    g_want = jax.grad(lambda a, b: nt_xent(a, b, T), argnums=(0, 1))(z1, z2)
+    grad_sharded = jax.jit(
+        shard_map(
+            jax.grad(pallas_loss, argnums=(0, 1)), mesh=mesh,
+            in_specs=(P("data"), P("data")),
+            out_specs=(P("data"), P("data")), check_vma=False,
+        )
+    )
+    g_got = grad_sharded(z1, z2)
+    for gw, gg in zip(g_want, g_got):
+        np.testing.assert_allclose(
+            np.asarray(gg), np.asarray(gw), rtol=2e-4, atol=1e-7
+        )

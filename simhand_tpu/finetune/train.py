@@ -198,6 +198,35 @@ def main(argv=None):
             break
 
     os.makedirs(args.out_dir, exist_ok=True)
+    from simhand_tpu.train.checkpoint import CheckpointManager
+
+    manager = CheckpointManager(
+        os.path.join(args.out_dir, "checkpoints"), metric="det_total"
+    )
+    manager.save(global_step, jax.device_get(state),
+                 {"det_total": float(np.mean(losses))})
+    manager.wait()
+    manager.close()
+    # torch-format export of the fine-tuned detnet (interop:
+    # finetune/torch_port_detnet.py)
+    try:
+        import torch
+
+        from simhand_tpu.finetune.torch_port_detnet import (
+            detnet_to_torch_state_dict,
+        )
+
+        sd = detnet_to_torch_state_dict(
+            jax.device_get(state.params), jax.device_get(state.batch_stats)
+        )
+        torch.save(
+            {k: torch.from_numpy(np.ascontiguousarray(v).copy())
+             for k, v in sd.items()},
+            os.path.join(args.out_dir, "detnet.pth"),
+        )
+        logger.info("saved %s", os.path.join(args.out_dir, "detnet.pth"))
+    except ImportError:
+        pass
     return state
 
 

@@ -14,3 +14,8 @@ from simhand_tpu.losses.supervised import (
     loss_3d,
     epe_metrics,
 )
+from simhand_tpu.losses.pallas_ntxent import (
+    nt_xent_pallas,
+    weighted_nt_xent_pallas,
+    make_sharded_nt_xent_pallas,
+)

@@ -1,7 +1,10 @@
 """Env-keyed paths (reference: src/constants.py:3-32)."""
 import os
 
-BASE_PATH = os.environ.get("BASE_PATH", "/tmp/simhand_tpu")
+# NOTE: keep the default run dir name distinct from the package name —
+# a sys.path entry containing a "simhand_tpu/" data directory would
+# shadow the package as a namespace package.
+BASE_PATH = os.environ.get("BASE_PATH", "/tmp/simhand_runs")
 DATA_PATH = os.environ.get("DATA_PATH", os.path.join(BASE_PATH, "data"))
 HAND2M_DATA = os.environ.get("HAND2M_DATA", DATA_PATH)
 FREIHAND_DATA = os.environ.get("FREIHAND_DATA", os.path.join(DATA_PATH, "freihand"))

@@ -288,9 +288,21 @@ def main(argv=None):
             num_threads=num_workers, raw=args.device_augment,
             sample_weights=weights,
         )
-        for batch in device_prefetch(host_iter, mesh):
+        for batch_idx, batch in enumerate(device_prefetch(host_iter, mesh)):
             state, metrics = step_fn(state, batch)
             global_step += 1
+            if batch_idx == 4 and epoch % 5 == 0 and not args.device_augment:
+                # sample-pair figure per few epochs (the reference's
+                # UploadCometLogs pushes figures at batch_idx==4,
+                # callbacks/upload_comet_logs.py:38-123)
+                from simhand_tpu.utils.plots import plot_pair_images
+
+                fig = plot_pair_images(
+                    np.asarray(batch["transformed_image1"])[0],
+                    np.asarray(batch["transformed_image2"])[0],
+                    title=f"epoch {epoch}",
+                )
+                metric_logger.log_figure("sample_pair", fig, global_step)
             if args.log_interval == "step":
                 metric_logger.log_metrics(
                     {"contrastive_loss": float(metrics["contrastive_loss"])},

@@ -1,3 +1,6 @@
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time, numpy as np, jax
 from simhand_tpu.mining import mine_similar_hands
 

@@ -3,6 +3,9 @@ bf16 vs f32 (run manually; each program pays one remote compile).
 
   python scripts/perf_breakdown.py [encoder_bf16|encoder_f32|full_bf16]
 """
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 import time
 

@@ -95,6 +95,33 @@ def topk_similar(
     return best_d, best_i
 
 
+@partial(jax.jit, static_argnames=("k", "query_chunk", "db_chunk"))
+def topk_similar_all(
+    kp: Array,        # (N, 21, 2), N padded to a multiple of query_chunk
+    vids: Array,      # (N,)
+    k: int = 1,
+    query_chunk: int = 8192,
+    db_chunk: int = 8192,
+):
+    """Whole-corpus mining in ONE device program: a lax.scan over query
+    chunks wraps the streaming top-k, so the host syncs exactly once
+    (per-chunk host dispatch was 99% of wall time over a remote tunnel).
+    """
+    N = kp.shape[0]
+    n_q = N // query_chunk
+    q_kp = kp.reshape(n_q, query_chunk, *kp.shape[1:])
+    q_vids = vids.reshape(n_q, query_chunk)
+    q_ids = jnp.arange(N, dtype=jnp.int32).reshape(n_q, query_chunk)
+
+    def body(_, inputs):
+        q, qv, qi = inputs
+        d, i = topk_similar(q, qv, qi, kp, vids, k=k, db_chunk=db_chunk)
+        return None, (d, i)
+
+    _, (d, i) = jax.lax.scan(body, None, (q_kp, q_vids, q_ids))
+    return d.reshape(N, k), i.reshape(N, k)
+
+
 def mine_similar_hands(
     keypoints: np.ndarray,    # (N, 21, 2) normalized 2D keypoints
     video_ids: np.ndarray,    # (N,) int
@@ -103,6 +130,7 @@ def mine_similar_hands(
     db_chunk: int = 8192,
     mesh=None,
     progress: bool = False,
+    single_program: bool | None = None,
 ):
     """Full-corpus mining: every hand paired with its k most-similar hands
     from other videos.
@@ -114,6 +142,21 @@ def mine_similar_hands(
     N = keypoints.shape[0]
     kp = jnp.asarray(keypoints, jnp.float32)
     vids = jnp.asarray(video_ids, jnp.int32)
+
+    if single_program is None:
+        single_program = mesh is None
+    if single_program and mesh is None:
+        # one fused program, one host round trip
+        pad = (-N) % query_chunk
+        kp_p = kp
+        vids_p = vids
+        if pad:
+            kp_p = jnp.concatenate([kp, jnp.zeros((pad, 21, 2), kp.dtype)])
+            vids_p = jnp.concatenate([vids, jnp.full((pad,), -3, vids.dtype)])
+        d, i = topk_similar_all(
+            kp_p, vids_p, k=k, query_chunk=query_chunk, db_chunk=db_chunk
+        )
+        return np.asarray(d[:N]), np.asarray(i[:N])
 
     fn = topk_similar
     if mesh is not None:

@@ -196,6 +196,22 @@ def contrastive_loss_from_projections(
     z1, z2 = transformed_projections(projections, batch, cfg)
 
     n_rows = 2 * z1.shape[0]
+    if (
+        cfg.use_pallas
+        and axis_name is not None
+        and cfg.experiment_type not in _WEIGHTED
+        and n_rows % 256 == 0
+    ):
+        # global-batch pallas path: local rows stream against the
+        # all-gathered column set, fwd+bwd (losses/pallas_ntxent.py)
+        from simhand_tpu.losses.pallas_ntxent import make_sharded_nt_xent_pallas
+
+        interp = jax.default_backend() != "tpu"
+        loss_fn = make_sharded_nt_xent_pallas(
+            axis_name, cfg.temperature, interpret=interp
+        )
+        return loss_fn(z1, z2), (z1, z2)
+
     if cfg.use_pallas and axis_name is None and n_rows % 512 == 0:
         from simhand_tpu.losses.pallas_ntxent import (
             nt_xent_pallas,

@@ -228,3 +228,34 @@ def test_sharded_pallas_nt_xent_matches_xla_sharded():
         np.testing.assert_allclose(
             np.asarray(gg), np.asarray(gw), rtol=2e-4, atol=1e-7
         )
+
+
+def test_sharded_use_pallas_train_step():
+    """make_train_step(mesh=...) with use_pallas routes through the
+    sharded pallas loss and still trains (finite, decreasing loss)."""
+    from simhand_tpu.models import ContrastiveModel
+    from simhand_tpu.models.contrastive import ContrastiveConfig
+    from simhand_tpu.parallel import create_mesh
+    from simhand_tpu.train import OptimizerConfig, create_train_state, make_train_step
+
+    rng = np.random.default_rng(41)
+    B = 1024  # 128/device -> 256 local rows, divisible by ROW_TILE
+    batch = {
+        "transformed_image1": jnp.asarray(
+            rng.normal(size=(B, 16, 16, 3)), jnp.float32),
+        "transformed_image2": jnp.asarray(
+            rng.normal(size=(B, 16, 16, 3)), jnp.float32),
+    }
+    model = ContrastiveModel(resnet_size="18")
+    state = create_train_state(
+        model, OptimizerConfig(train_iters_per_epoch=4, epochs=2, warmup_epochs=1),
+        jax.random.key(0), input_shape=(2, 16, 16, 3),
+    )
+    cfg = ContrastiveConfig(experiment_type="simclr", image_side=16.0,
+                            use_pallas=True)
+    step = make_train_step(model, cfg, mesh=create_mesh())
+    state, m1 = step(state, batch)
+    assert np.isfinite(float(m1["contrastive_loss"]))
+    state, m2 = step(state, batch)
+    state, m3 = step(state, batch)
+    assert float(m3["contrastive_loss"]) < float(m1["contrastive_loss"]) + 1e-3

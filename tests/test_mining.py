@@ -110,3 +110,16 @@ def test_topk_handles_non_divisible_sizes():
     got_d, got_i = mine_similar_hands(kp, vids, k=2, query_chunk=10, db_chunk=16)
     np.testing.assert_array_equal(got_i, want_i)
     np.testing.assert_allclose(got_d, want_d, rtol=1e-4, atol=1e-6)
+
+
+def test_single_program_mining_matches_chunked():
+    rng = np.random.default_rng(9)
+    N = 48
+    kp = rng.uniform(0, 1, size=(N, 21, 2)).astype(np.float32)
+    vids = rng.integers(0, 6, size=N).astype(np.int32)
+    want_d, want_i = brute_force(kp, vids, 1)
+    got_d, got_i = mine_similar_hands(
+        kp, vids, k=1, query_chunk=16, db_chunk=16, single_program=True
+    )
+    np.testing.assert_array_equal(got_i, want_i)
+    np.testing.assert_allclose(got_d, want_d, rtol=1e-4)

@@ -120,3 +120,27 @@ def test_detnet_round_trip():
     np.testing.assert_allclose(
         np.asarray(out["h_map"]), np.asarray(ref["h_map"]), rtol=1e-5, atol=1e-6
     )
+
+
+def test_hub_load_into_contrastive(tmp_path):
+    pytest.importorskip("torch")
+    import os
+
+    from simhand_tpu.hub import load_encoder_into_contrastive
+    from simhand_tpu.models import ContrastiveModel
+
+    model = ContrastiveModel(resnet_size="50")
+    variables = model.init(jax.random.key(2), jnp.zeros((1, 32, 32, 3)))
+    path = os.path.join(tmp_path, "rel.pth")
+    save_torch_checkpoint(
+        path, jax.device_get(variables["params"]["encoder"]),
+        jax.device_get(variables["batch_stats"]["encoder"]),
+    )
+    fresh = model.init(jax.random.key(3), jnp.zeros((1, 32, 32, 3)))
+    loaded = load_encoder_into_contrastive(fresh, path)
+    a = jax.tree.leaves(variables["params"]["encoder"])[0]
+    b = jax.tree.leaves(loaded["params"]["encoder"])[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the model runs with the transplanted encoder
+    emb, proj = model.apply(loaded, jnp.zeros((1, 32, 32, 3)))
+    assert proj.shape == (1, 128)

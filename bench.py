@@ -56,7 +56,10 @@ def main():
     device = jax.devices()[0]
 
     stem = os.environ.get("BENCH_STEM", "conv7")
-    model = ContrastiveModel(resnet_size="50", dtype=jnp.bfloat16, stem=stem)
+    resnet_size = os.environ.get("BENCH_MODEL", "50")
+    model = ContrastiveModel(
+        resnet_size=resnet_size, dtype=jnp.bfloat16, stem=stem
+    )
     opt_cfg = OptimizerConfig(train_iters_per_epoch=1000, epochs=100, warmup_epochs=10)
     state = create_train_state(
         model, opt_cfg, jax.random.key(0), input_shape=(2, side, side, 3)
@@ -102,12 +105,16 @@ def main():
         )
         return metrics["contrastive_loss"]
 
-    # Analytic step FLOPs: rn50 fwd ~= 8.2 GF (2 flops/MAC) @224^2, scaled
-    # to side^2, x3 for fwd+bwd, x2B images per step. Validated against
-    # XLA cost analysis of this exact program (3.90e12 for B=256 @128^2 vs
-    # 4.11e12 analytic, ~5%); computed analytically here to avoid a second
-    # remote compile just for the cost query.
-    flops_per_step = 8.2e9 * (side / 224.0) ** 2 * 3 * 2 * B
+    # Analytic step FLOPs: fwd GF @224^2 (2 flops/MAC), scaled to side^2,
+    # x3 for fwd+bwd, x2B images per step. rn50 validated against XLA
+    # cost analysis of this exact program (3.90e12 for B=256 @128^2 vs
+    # 4.11e12 analytic, ~5%); computed analytically here to avoid a
+    # second remote compile just for the cost query.
+    FWD_GFLOPS_224 = {"18": 3.6e9, "34": 7.3e9, "50": 8.2e9,
+                      "101": 15.7e9, "152": 23.1e9}
+    flops_per_step = (
+        FWD_GFLOPS_224[resnet_size] * (side / 224.0) ** 2 * 3 * 2 * B
+    )
 
     k_small, k_big = max(steps // 4, 2), steps
     # warm (single compile covers both trip counts), force fetch

@@ -255,3 +255,47 @@ def apply_pca(
     signs = jnp.sign(v[jnp.argmax(jnp.abs(v), axis=0), jnp.arange(target_dim)])
     v = v * signs[None, :]
     return jnp.dot(x, v, precision=_PREC)
+
+
+def pairwise_minmax(
+    joints: Array,
+    diff_type: str = "mpjpe",
+    chunk: int = 2048,
+    axis_name: str | None = None,
+):
+    """Global (min, max) of the pairwise distance matrix without ever
+    materializing more than one (N, chunk) plane — the statistics pass for
+    the streaming/pallas weighted losses.
+
+    joints: (N, 21, 2) local rows (the full set when axis_name is None).
+    Under sharding the local extrema are pmin/pmax-reduced.
+    """
+    N = joints.shape[0]
+    pad = (-N) % chunk
+    cols = joints
+    if pad:
+        cols = jnp.concatenate(
+            [joints, jnp.full((pad,) + joints.shape[1:], 1e30, joints.dtype)]
+        )
+    n_chunks = cols.shape[0] // chunk
+    cols_c = cols.reshape(n_chunks, chunk, *joints.shape[1:])
+    col_valid = (jnp.arange(cols.shape[0]) < N).reshape(n_chunks, chunk)
+
+    def body(carry, inputs):
+        cur_min, cur_max = carry
+        c, valid = inputs
+        d = _pairwise_matrix(joints, c, diff_type)
+        d_min = jnp.where(valid[None, :], d, jnp.inf)
+        d_max = jnp.where(valid[None, :], d, -jnp.inf)
+        return (
+            jnp.minimum(cur_min, jnp.min(d_min)),
+            jnp.maximum(cur_max, jnp.max(d_max)),
+        ), None
+
+    (d_min, d_max), _ = jax.lax.scan(
+        body, (jnp.inf, -jnp.inf), (cols_c, col_valid)
+    )
+    if axis_name is not None:
+        d_min = jax.lax.pmin(d_min, axis_name)
+        d_max = jax.lax.pmax(d_max, axis_name)
+    return d_min, d_max

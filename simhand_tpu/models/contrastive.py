@@ -230,15 +230,14 @@ def contrastive_loss_from_projections(
             j1 = batch[f"joints1_{key}"][..., :2]
             j2 = batch[f"joints2_{key}"][..., :2]
             joints = jnp.concatenate([j1, j2])
-            from simhand_tpu.losses.weights import _pair_distance
+            from simhand_tpu.losses.weights import (
+                _pair_distance,
+                pairwise_minmax,
+            )
 
             pos_d = _pair_distance(j1, j2, "mpjpe")
-            # global min/max of the pairwise matrix — the pos min/max and
-            # matrix min/max are computed on the same statistics set
-            from simhand_tpu.losses.weights import _pairwise_matrix
-
-            neg_d = _pairwise_matrix(joints, joints, "mpjpe")
-            d_max, d_min = jnp.max(neg_d), jnp.min(neg_d)
+            # streaming global min/max — no (2N, 2N) plane materialized
+            d_min, d_max = pairwise_minmax(joints, "mpjpe")
             pw = (jnp.max(pos_d) - pos_d) / (jnp.max(pos_d) - jnp.min(pos_d))
             minmax = jnp.stack([d_max, d_min])
             loss = weighted_nt_xent_pallas(

@@ -14,8 +14,9 @@ Everything is a single jit-compiled ``shard_map`` program: XLA overlaps
 the gradient all-reduce with backprop, and there is no per-step host sync
 except the scalar metrics fetch.
 
-BatchNorm statistics are per-replica by design, matching the reference's
-DataParallel behavior (see SURVEY.md §"Hard parts" item 4).
+BatchNorm statistics are per-replica by default, matching the reference's
+DataParallel behavior (SURVEY.md hard part 4); pass
+``ContrastiveModel(bn_axis_name="data")`` for cross-replica sync.
 """
 from __future__ import annotations
 

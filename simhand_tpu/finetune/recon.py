@@ -85,3 +85,31 @@ def recon_epe(mano: ManoModel, predictions_ait: np.ndarray) -> dict:
     epe_mean, _, epe_median, auc, _, _ = evaluator.get_measures(0.0, 0.05, 20)
     return {"recon_epe_mean": epe_mean, "recon_epe_median": epe_median,
             "recon_auc": auc}
+
+
+def main(argv=None):
+    """CLI: reconstruction EPE over random or provided predictions
+    (reference: minimal-hand/aik_pose.py)."""
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--mano", required=True)
+    p.add_argument("--predictions", default=None,
+                   help="npy of (N, 21, 3) AIT-order joints; random if absent")
+    p.add_argument("--n", type=int, default=8)
+    args = p.parse_args(argv)
+
+    mano = ManoModel(args.mano)
+    if args.predictions:
+        preds = np.load(args.predictions)
+    else:
+        beta = jnp.zeros((1, 10))
+        _, base = mano(jnp.broadcast_to(jnp.eye(3), (1, 16, 3, 3)), beta)
+        base = _JM.mano_to_ait(np.asarray(base[0]))
+        rng = np.random.default_rng(0)
+        preds = base[None] + rng.normal(scale=0.002, size=(args.n, 21, 3))
+    print(recon_epe(mano, preds))
+
+
+if __name__ == "__main__":
+    main()

@@ -227,3 +227,39 @@ def test_native_gather_matches_numpy(synthetic_root, tmp_path):
     crops = cached.gather_crops(sel)
     for i, s in enumerate(sel):
         np.testing.assert_array_equal(crops[i], cached[int(s)]["image"])
+
+
+def test_validate_scanner(synthetic_root, tmp_path):
+    from simhand_tpu.data.validate import scan_source
+
+    src = Hand100MSource(synthetic_root, source="100doh", scale="smoke")
+    n, bad = scan_source(src, limit=8)
+    assert n == 8 and bad == []
+
+    class _Broken:
+        def __len__(self):
+            return 3
+
+        def __getitem__(self, i):
+            if i == 1:
+                raise IOError("corrupt")
+            s = src[i]
+            if i == 2:
+                s["joints3D"] = s["joints3D"] * np.nan
+            return s
+
+    n, bad = scan_source(_Broken())
+    assert n == 3 and len(bad) == 2
+    assert bad[0][0] == 1 and "load_error" in bad[0][1]
+    assert bad[1][0] == 2 and bad[1][1] == "non_finite_joints"
+
+
+def test_dataset_registry(synthetic_root):
+    from simhand_tpu.finetune.registry import get_dataset
+
+    ds = get_dataset("synthetic", "", n=4)
+    assert len(ds) == 4
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        get_dataset("nope", "")

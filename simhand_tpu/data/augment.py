@@ -337,8 +337,9 @@ def device_augment(
         img = color_jitter(img, h_f, s_f, a_f, b_f)
 
     if flags.gaussian_noise:
-        noisy = gaussian_noise(img, keys[10], params.noise_std)
-        img = jnp.where(coin(keys[10])[:, None, None, None], noisy, img)
+        nk, ck = jax.random.split(keys[10])
+        noisy = gaussian_noise(img, nk, params.noise_std)
+        img = jnp.where(coin(ck)[:, None, None, None], noisy, img)
 
     if flags.color_drop:
         img = jnp.where(

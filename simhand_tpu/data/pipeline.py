@@ -135,6 +135,27 @@ class PretrainDataset:
             "T": T.astype(np.float32),
         }
 
+    def raw_batch(self, indices) -> dict | None:
+        """Vectorized raw-pair batch straight off a packed cache source
+        (uses the native multithreaded gather; no per-sample Python).
+        Returns None when the source doesn't support it."""
+        src = self.source
+        if not hasattr(src, "gather_crops"):
+            return None
+        idx = np.asarray(indices, np.int64)
+        if self.experiment_type in SIMILAR_PAIR_TYPES:
+            pos = src.positive_idx[idx]
+        else:
+            pos = idx
+        return {
+            "image1": src.gather_crops(idx),
+            "image2": src.gather_crops(pos),
+            "joints1": src.joints3d[idx],
+            "joints2": src.joints3d[pos],
+            "joints_raw1": src.joints_raw[idx],
+            "joints_raw2": src.joints_raw[pos],
+        }
+
     def raw_pair(self, idx: int) -> dict:
         """Device-augmentation path: undecoded work only — both views'
         uint8 crops + pixel joints + normalized raw joints. Augmentation
@@ -249,7 +270,9 @@ def batch_iterator(
                 return
             idxs = order[b * batch_size : (b + 1) * batch_size]
             if raw:
-                batch = _collate([dataset.raw_pair(int(i)) for i in idxs])
+                batch = dataset.raw_batch(idxs)
+                if batch is None:
+                    batch = _collate([dataset.raw_pair(int(i)) for i in idxs])
             else:
                 batch = _collate([dataset.__getitem__(int(i), epoch) for i in idxs])
             with done_lock:

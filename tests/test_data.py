@@ -263,3 +263,21 @@ def test_dataset_registry(synthetic_root):
 
     with _pytest.raises(KeyError):
         get_dataset("nope", "")
+
+
+def test_raw_batch_fast_path_matches_per_sample(synthetic_root, tmp_path):
+    from simhand_tpu.data.cache import CachedHand100MSource, build_crop_cache
+
+    src = Hand100MSource(synthetic_root, source="100doh", scale="smoke")
+    cache_dir = str(tmp_path / "cache3")
+    build_crop_cache(src, cache_dir, shard_size=10)
+    cached = CachedHand100MSource(cache_dir)
+    ds = PretrainDataset(cached, "simhand_w", default_flags(), AugmentParams())
+    idxs = np.array([0, 3, 11])
+    fast = ds.raw_batch(idxs)
+    slow = [ds.raw_pair(int(i)) for i in idxs]
+    for j, i in enumerate(idxs):
+        np.testing.assert_array_equal(fast["image1"][j], slow[j]["image1"])
+        np.testing.assert_array_equal(fast["image2"][j], slow[j]["image2"])
+        np.testing.assert_allclose(fast["joints1"][j], slow[j]["joints1"])
+        np.testing.assert_allclose(fast["joints_raw2"][j], slow[j]["joints_raw2"])

@@ -1,0 +1,51 @@
+"""In-process integration of the pre-training CLI: train -> resume ->
+eval-only on the synthetic corpus (rn18, tiny batches, CPU mesh)."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+def run_main(tmp_root, extra):
+    from simhand_tpu.experiments import main as main_mod
+
+    argv = [
+        "main.py", "--experiment_type", "simclr", "--crop", "--resize",
+        "-sources", "synthetic", "-batch_size", "8", "-resnet_size", "18",
+        "--data_dir", os.path.join(tmp_root, "data"),
+        "-experiment_name", "cli_it",
+    ] + extra
+    old = sys.argv
+    sys.argv = argv
+    try:
+        return main_mod.main()
+    finally:
+        sys.argv = old
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_train_resume_eval_cycle(tmp_path, monkeypatch):
+    monkeypatch.setenv("BASE_PATH", str(tmp_path / "runs"))
+    # constants are read at import; reload to pick up the env
+    import importlib
+
+    import simhand_tpu.constants as constants
+
+    importlib.reload(constants)
+    import simhand_tpu.experiments.main as main_mod
+
+    importlib.reload(main_mod)
+
+    root = str(tmp_path)
+    state1 = run_main(root, ["-epochs", "1", "--max_steps", "2"])
+    step1 = int(np.asarray(state1.step))
+    assert step1 == 2
+
+    # resume continues from the saved checkpoint
+    state2 = run_main(root, ["-epochs", "1", "--max_steps", "2", "--resume"])
+    assert int(np.asarray(state2.step)) > 0  # restored + trained further
+
+    # eval-only restores and reports without training
+    state3 = run_main(root, ["-epochs", "1", "--eval"])
+    assert state3 is not None

@@ -360,40 +360,14 @@ def _weighted_grad_kernel(rows_ref, cols_ref, jrows_ref, jcols_ref,
         out_ref[:] = acc_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def _weighted_grad(z, joints, inv_neg, d_max, d_min, temperature,
                    interpret=False):
-    N, D = z.shape
-    assert N % W_ROW_TILE == 0 and N % W_COL_TILE == 0, N
-    jflat = joints.reshape(N, 42)
-    ids = jnp.arange(N, dtype=jnp.int32).reshape(N, 1)
-    scalars = jnp.stack(
-        [jnp.float32(temperature), d_max.astype(jnp.float32),
-         d_min.astype(jnp.float32)]
+    N = z.shape[0]
+    ids = jnp.arange(N, dtype=jnp.int32)
+    return _weighted_grad_rows(
+        z, z, joints, joints, inv_neg, inv_neg, ids, d_max, d_min,
+        temperature, interpret=interpret,
     )
-    grid = (N // W_ROW_TILE, N // W_COL_TILE)
-    return pl.pallas_call(
-        _weighted_grad_kernel,
-        out_shape=jax.ShapeDtypeStruct((N, D), jnp.float32),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((W_ROW_TILE, D), lambda i, j: (i, 0)),
-                pl.BlockSpec((W_COL_TILE, D), lambda i, j: (j, 0)),
-                pl.BlockSpec((W_ROW_TILE, 42), lambda i, j: (i, 0)),
-                pl.BlockSpec((W_COL_TILE, 42), lambda i, j: (j, 0)),
-                pl.BlockSpec((W_ROW_TILE, 1), lambda i, j: (i, 0)),
-                pl.BlockSpec((W_COL_TILE, 1), lambda i, j: (j, 0)),
-                pl.BlockSpec((W_ROW_TILE, 1), lambda i, j: (i, 0)),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-            ],
-            out_specs=pl.BlockSpec((W_ROW_TILE, D), lambda i, j: (i, 0)),
-            scratch_shapes=[pltpu.VMEM((W_ROW_TILE, D), jnp.float32)],
-        ),
-        interpret=interpret,
-    )(z, z, jflat, jflat, inv_neg.reshape(N, 1), inv_neg.reshape(N, 1),
-      ids, scalars)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -522,3 +496,135 @@ def make_sharded_nt_xent_pallas(axis_name: str, temperature: float = 0.5,
 
     loss_fn.defvjp(fwd, bwd)
     return loss_fn
+
+
+def make_sharded_weighted_nt_xent_pallas(axis_name: str,
+                                         temperature: float = 0.5,
+                                         interpret: bool = False):
+    """Global-batch simhand_w loss (linear/mpjpe pos_neg weighting)
+    entirely through the pallas kernels under shard_map: columns, joints
+    and 1/neg are all-gathered; rows stream locally in fwd AND bwd.
+
+    Returned fn signature: (z1, z2, joints1, joints2) -> loss, where
+    joints are the (B_local, 21, 2) 2D keypoints of each view. Matches
+    losses.weighted_nt_xent(+linear_weights) with axis_name semantics.
+    """
+
+    def _stats(j_local_rows, j_cols):
+        # streaming global min/max of the pairwise mpjpe matrix:
+        # local rows x global cols, pmin/pmax over the mesh
+        from simhand_tpu.losses.weights import _pairwise_matrix
+
+        d = _pairwise_matrix(j_local_rows, j_cols, "mpjpe")
+        return (
+            jax.lax.pmin(jnp.min(d), axis_name),
+            jax.lax.pmax(jnp.max(d), axis_name),
+        )
+
+    @jax.custom_vjp
+    def loss_fn(z1, z2, j1, j2):
+        loss, _ = fwd(z1, z2, j1, j2)
+        return loss
+
+    def _gather(z1, z2, j1, j2):
+        b = z1.shape[0]
+        idx = jax.lax.axis_index(axis_name)
+        world = jax.lax.axis_size(axis_name)
+        n_global = b * world
+
+        def gcat(a, c):
+            aa = jax.lax.all_gather(a, axis_name, axis=0, tiled=True)
+            cc = jax.lax.all_gather(c, axis_name, axis=0, tiled=True)
+            return jnp.concatenate([aa, cc], axis=0)
+
+        z_local = jnp.concatenate([z1, z2], axis=0)
+        j_local = jnp.concatenate([j1, j2], axis=0)
+        z_cols = gcat(z1, z2)
+        j_cols = gcat(j1, j2)
+        local = jnp.arange(b, dtype=jnp.int32)
+        row_ids = jnp.concatenate(
+            [local + idx * b, local + idx * b + n_global]
+        )
+        return z_local, j_local, z_cols, j_cols, row_ids
+
+    def fwd(z1, z2, j1, j2):
+        from simhand_tpu.losses.weights import _pair_distance
+
+        b = z1.shape[0]
+        z_local, j_local, z_cols, j_cols, row_ids = _gather(z1, z2, j1, j2)
+        d_min, d_max = _stats(j_local, j_cols)
+
+        neg_local = weighted_ntxent_denominator(
+            z_local, z_cols, j_local, j_cols, row_ids, d_max, d_min,
+            temperature, interpret=interpret,
+        )
+        pos_d = _pair_distance(j1, j2, "mpjpe")
+        p_min = jax.lax.pmin(jnp.min(pos_d), axis_name)
+        p_max = jax.lax.pmax(jnp.max(pos_d), axis_name)
+        pw = (p_max - pos_d) / (p_max - p_min)
+        pos = jnp.sum(z1 * z2, axis=-1) * pw / temperature
+        pos2 = jnp.concatenate([pos, pos])
+        loss = jax.lax.pmean(jnp.mean(jnp.log(neg_local) - pos2), axis_name)
+        return loss, (z1, z2, j1, j2, neg_local, pw, d_min, d_max)
+
+    def bwd(res, g):
+        z1, z2, j1, j2, neg_local, pw, d_min, d_max = res
+        b = z1.shape[0]
+        world = jax.lax.axis_size(axis_name)
+        n_global = 2 * b * world
+        z_local, j_local, z_cols, j_cols, row_ids = _gather(z1, z2, j1, j2)
+        inv_local = 1.0 / neg_local
+        inv1 = jax.lax.all_gather(inv_local[:b], axis_name, axis=0, tiled=True)
+        inv2 = jax.lax.all_gather(inv_local[b:], axis_name, axis=0, tiled=True)
+        inv_cols = jnp.concatenate([inv1, inv2])
+
+        denom_grad = _weighted_grad_rows(
+            z_local, z_cols, j_local, j_cols, inv_local, inv_cols, row_ids,
+            d_max, d_min, temperature, interpret=interpret,
+        )
+        partner = jnp.concatenate([z2, z1], axis=0)
+        pw2 = jnp.concatenate([pw, pw])[:, None]
+        dz = (denom_grad - 2.0 * pw2 * partner) / (n_global * temperature)
+        dz = dz * g
+        return dz[:b], dz[b:], None, None
+
+    loss_fn.defvjp(fwd, bwd)
+    return loss_fn
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _weighted_grad_rows(z_rows, z_cols, j_rows, j_cols, inv_rows, inv_cols,
+                        row_ids, d_max, d_min, temperature,
+                        interpret=False):
+    """Weighted denominator gradient for given rows vs global cols."""
+    M, D = z_rows.shape
+    N = z_cols.shape[0]
+    assert M % W_ROW_TILE == 0 and N % W_COL_TILE == 0, (M, N)
+    scalars = jnp.stack(
+        [jnp.float32(temperature), d_max.astype(jnp.float32),
+         d_min.astype(jnp.float32)]
+    )
+    grid = (M // W_ROW_TILE, N // W_COL_TILE)
+    return pl.pallas_call(
+        _weighted_grad_kernel,
+        out_shape=jax.ShapeDtypeStruct((M, D), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((W_ROW_TILE, D), lambda i, j: (i, 0)),
+                pl.BlockSpec((W_COL_TILE, D), lambda i, j: (j, 0)),
+                pl.BlockSpec((W_ROW_TILE, 42), lambda i, j: (i, 0)),
+                pl.BlockSpec((W_COL_TILE, 42), lambda i, j: (j, 0)),
+                pl.BlockSpec((W_ROW_TILE, 1), lambda i, j: (i, 0)),
+                pl.BlockSpec((W_COL_TILE, 1), lambda i, j: (j, 0)),
+                pl.BlockSpec((W_ROW_TILE, 1), lambda i, j: (i, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((W_ROW_TILE, D), lambda i, j: (i, 0)),
+            scratch_shapes=[pltpu.VMEM((W_ROW_TILE, D), jnp.float32)],
+        ),
+        interpret=interpret,
+    )(z_rows, z_cols, j_rows.reshape(M, 42), j_cols.reshape(N, 42),
+      inv_rows.reshape(M, 1), inv_cols.reshape(N, 1),
+      row_ids.astype(jnp.int32).reshape(M, 1), scalars)

@@ -196,21 +196,37 @@ def contrastive_loss_from_projections(
     z1, z2 = transformed_projections(projections, batch, cfg)
 
     n_rows = 2 * z1.shape[0]
-    if (
-        cfg.use_pallas
-        and axis_name is not None
-        and cfg.experiment_type not in _WEIGHTED
-        and n_rows % 256 == 0
-    ):
+    _flagship_w = (
+        cfg.experiment_type in _WEIGHTED
+        and (cfg.weight_type, cfg.diff_type, cfg.pos_neg, cfg.use_pca)
+        == ("linear", "mpjpe", "pos_neg", False)
+    )
+    if cfg.use_pallas and axis_name is not None and n_rows % 256 == 0:
         # global-batch pallas path: local rows stream against the
         # all-gathered column set, fwd+bwd (losses/pallas_ntxent.py)
-        from simhand_tpu.losses.pallas_ntxent import make_sharded_nt_xent_pallas
-
         interp = jax.default_backend() != "tpu"
-        loss_fn = make_sharded_nt_xent_pallas(
-            axis_name, cfg.temperature, interpret=interp
-        )
-        return loss_fn(z1, z2), (z1, z2)
+        if cfg.experiment_type not in _WEIGHTED:
+            from simhand_tpu.losses.pallas_ntxent import (
+                make_sharded_nt_xent_pallas,
+            )
+
+            loss_fn = make_sharded_nt_xent_pallas(
+                axis_name, cfg.temperature, interpret=interp
+            )
+            return loss_fn(z1, z2), (z1, z2)
+        if _flagship_w:
+            from simhand_tpu.losses.pallas_ntxent import (
+                make_sharded_weighted_nt_xent_pallas,
+            )
+
+            key = "ori" if cfg.joints_type == "original" else "aug"
+            j1 = batch[f"joints1_{key}"][..., :2]
+            j2 = batch[f"joints2_{key}"][..., :2]
+            loss_fn = make_sharded_weighted_nt_xent_pallas(
+                axis_name, cfg.temperature, interpret=interp
+            )
+            return loss_fn(z1, z2, j1, j2), (z1, z2)
+        # other weighted configs fall through to the XLA path
 
     if cfg.use_pallas and axis_name is None and n_rows % 512 == 0:
         from simhand_tpu.losses.pallas_ntxent import (

@@ -259,3 +259,90 @@ def test_sharded_use_pallas_train_step():
     state, m2 = step(state, batch)
     state, m3 = step(state, batch)
     assert float(m3["contrastive_loss"]) < float(m1["contrastive_loss"]) + 1e-3
+
+
+def test_sharded_weighted_pallas_matches_xla():
+    """Global-batch simhand_w through pallas (fwd+bwd) == the XLA sharded
+    weighted loss, in value and gradient, on the 8-device mesh."""
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from simhand_tpu.losses import linear_weights, weighted_nt_xent
+    from simhand_tpu.losses.pallas_ntxent import (
+        make_sharded_weighted_nt_xent_pallas,
+    )
+
+    rng = np.random.default_rng(51)
+    B = 4 * COL_TILE  # 1024 -> per-device 256 rows
+    z1 = jnp.asarray(normalize(rng.normal(size=(B, 128))), jnp.float32)
+    z2 = jnp.asarray(normalize(rng.normal(size=(B, 128))), jnp.float32)
+    j1 = jnp.asarray(rng.uniform(0, 128, (B, 21, 2)), jnp.float32)
+    j2 = jnp.asarray(rng.uniform(0, 128, (B, 21, 2)), jnp.float32)
+
+    pw, nw = linear_weights(j1, j2, "mpjpe")
+    want = float(weighted_nt_xent(z1, z2, pw, nw, T))
+    g_want = jax.grad(
+        lambda a, b: weighted_nt_xent(a, b, pw, nw, T), argnums=(0, 1)
+    )(z1, z2)
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    loss_fn = make_sharded_weighted_nt_xent_pallas("data", T, interpret=True)
+
+    got = float(jax.jit(shard_map(
+        loss_fn, mesh=mesh, in_specs=(P("data"),) * 4, out_specs=P(),
+        check_vma=False,
+    ))(z1, z2, j1, j2))
+    assert got == pytest.approx(want, rel=1e-4)
+
+    g_got = jax.jit(shard_map(
+        jax.grad(loss_fn, argnums=(0, 1)), mesh=mesh,
+        in_specs=(P("data"),) * 4, out_specs=(P("data"), P("data")),
+        check_vma=False,
+    ))(z1, z2, j1, j2)
+    for gw, gg in zip(g_want, g_got):
+        np.testing.assert_allclose(
+            np.asarray(gg), np.asarray(gw), rtol=1e-3, atol=1e-7
+        )
+
+
+def test_sharded_use_pallas_weighted_step_matches_xla():
+    """The full mesh train-step loss with use_pallas (simhand_w) matches
+    the XLA step loss on identical inputs."""
+    from simhand_tpu.models import ContrastiveModel
+    from simhand_tpu.models.contrastive import ContrastiveConfig
+    from simhand_tpu.parallel import create_mesh
+    from simhand_tpu.train import OptimizerConfig, create_train_state, make_eval_step
+
+    rng = np.random.default_rng(61)
+    B = 1024
+    batch = {
+        "transformed_image1": jnp.asarray(
+            rng.normal(size=(B, 16, 16, 3)), jnp.float32),
+        "transformed_image2": jnp.asarray(
+            rng.normal(size=(B, 16, 16, 3)), jnp.float32),
+        "jitter_x_1": jnp.asarray(rng.uniform(-10, 0, B), jnp.float32),
+        "jitter_x_2": jnp.asarray(rng.uniform(-10, 0, B), jnp.float32),
+        "jitter_y_1": jnp.asarray(rng.uniform(-10, 0, B), jnp.float32),
+        "jitter_y_2": jnp.asarray(rng.uniform(-10, 0, B), jnp.float32),
+        "angle_1": jnp.asarray(rng.uniform(-45, 45, B), jnp.float32),
+        "angle_2": jnp.asarray(rng.uniform(-45, 45, B), jnp.float32),
+        "joints1_aug": jnp.asarray(rng.uniform(0, 128, (B, 21, 3)), jnp.float32),
+        "joints2_aug": jnp.asarray(rng.uniform(0, 128, (B, 21, 3)), jnp.float32),
+    }
+    model = ContrastiveModel(resnet_size="18")
+    state = create_train_state(
+        model, OptimizerConfig(train_iters_per_epoch=4, epochs=2, warmup_epochs=1),
+        jax.random.key(0), input_shape=(2, 16, 16, 3),
+    )
+    mesh = create_mesh()
+    kw = dict(experiment_type="simhand_w",
+              augmentation=("crop", "rotate", "resize"), image_side=16.0)
+    want = float(
+        make_eval_step(model, ContrastiveConfig(**kw), mesh=mesh)(
+            state, batch)["contrastive_loss"]
+    )
+    got = float(
+        make_eval_step(model, ContrastiveConfig(use_pallas=True, **kw),
+                       mesh=mesh)(state, batch)["contrastive_loss"]
+    )
+    assert got == pytest.approx(want, rel=1e-4)

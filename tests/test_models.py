@@ -239,3 +239,34 @@ def test_resnet_s2d_stem_shapes():
     out = model.apply(v, jnp.zeros((1, 64, 64, 3)))
     assert out.shape == (1, 512)
     assert "conv1_s2d" in v["params"]
+
+
+def test_equivariance_inverse_aligns_rotated_projections():
+    """The PeCLR property: if view-1's projection is view-2's projection
+    rotated by theta (a perfectly equivariant encoder), the inverse
+    transform recovers z1 == z2 exactly; skipping it does not."""
+    from simhand_tpu.models.equivariance import (
+        inverse_transform_projections,
+        rotate_encodings,
+    )
+
+    rng = np.random.default_rng(77)
+    B, D = 6, 128
+    p2 = rng.normal(size=(B, D)).astype(np.float32)
+    p2 /= np.linalg.norm(p2, axis=1, keepdims=True)
+    theta = jnp.asarray(rng.uniform(-45, 45, B).astype(np.float32))
+    p1 = np.asarray(
+        rotate_encodings(jnp.asarray(p2).reshape(B, D // 2, 2), theta)
+    ).reshape(B, D)
+
+    proj = jnp.asarray(np.concatenate([p1, p2]), jnp.float32)
+    z1, z2 = inverse_transform_projections(
+        proj, None, None,
+        jnp.concatenate([theta, jnp.zeros(B)]), image_side=128.0,
+    )
+    cos_with = np.sum(np.asarray(z1) * np.asarray(z2), axis=1)
+    np.testing.assert_allclose(cos_with, 1.0, atol=1e-5)
+
+    z1n, z2n = inverse_transform_projections(proj, None, None, None, 128.0)
+    cos_without = np.sum(np.asarray(z1n) * np.asarray(z2n), axis=1)
+    assert cos_without.mean() < 0.999

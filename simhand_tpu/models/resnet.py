@@ -107,21 +107,39 @@ class ResNet(nn.Module):
     # space-to-depth(2) input, which tiles far better onto the MXU than a
     # 3-channel 7x7. Convert torch weights via s2d_stem_kernel().
     stem: str = "conv7"
+    # >1: compute forward BN statistics from every k-th batch row
+    # (simhand_tpu.models.norm) — cuts the stats-reduction HBM traffic
+    # that dominates the rn50@128² step. 1 = exact reference BN.
+    bn_subsample: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         conv = partial(
             nn.Conv, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32
         )
-        norm = partial(
-            nn.BatchNorm,
-            use_running_average=not train,
-            momentum=self.norm_momentum,
-            epsilon=self.norm_epsilon,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            axis_name=self.bn_axis_name if train else None,
-        )
+        if self.bn_subsample > 1:
+            from simhand_tpu.models.norm import SubsampledBatchNorm
+
+            norm = partial(
+                SubsampledBatchNorm,
+                subsample=self.bn_subsample,
+                use_running_average=not train,
+                momentum=self.norm_momentum,
+                epsilon=self.norm_epsilon,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                axis_name=self.bn_axis_name if train else None,
+            )
+        else:
+            norm = partial(
+                nn.BatchNorm,
+                use_running_average=not train,
+                momentum=self.norm_momentum,
+                epsilon=self.norm_epsilon,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                axis_name=self.bn_axis_name if train else None,
+            )
 
         x = x.astype(self.dtype)
         if self.stem == "space_to_depth":

@@ -97,11 +97,14 @@ class ContrastiveModel(nn.Module):
     bn_axis_name: str | None = None
     # "conv7" (torch-compatible) or "space_to_depth" (MLPerf TPU stem)
     stem: str = "conv7"
+    # >1: subsampled-stats BN (models/norm.py) — perf opt-in
+    bn_subsample: int = 1
 
     def setup(self):
         enc_cls = RESNETS[self.resnet_size]
         enc_kw = dict(
-            dtype=self.dtype, bn_axis_name=self.bn_axis_name, stem=self.stem
+            dtype=self.dtype, bn_axis_name=self.bn_axis_name, stem=self.stem,
+            bn_subsample=self.bn_subsample,
         )
         if self.remat:
             # static_argnums indexes (module, x, train) — `train` must be

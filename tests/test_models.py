@@ -270,3 +270,48 @@ def test_equivariance_inverse_aligns_rotated_projections():
     z1n, z2n = inverse_transform_projections(proj, None, None, None, 128.0)
     cos_without = np.sum(np.asarray(z1n) * np.asarray(z2n), axis=1)
     assert cos_without.mean() < 0.999
+
+
+def test_subsampled_bn_matches_flax_at_subsample_1():
+    import flax.linen as nn
+
+    from simhand_tpu.models.norm import SubsampledBatchNorm
+
+    rng = np.random.default_rng(91)
+    x = jnp.asarray(rng.normal(size=(16, 4, 4, 8)).astype(np.float32))
+    a = SubsampledBatchNorm(subsample=1, use_running_average=False)
+    b = nn.BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5)
+    va = a.init(jax.random.key(1), x)
+    vb = b.init(jax.random.key(1), x)
+    ya, ma = a.apply(va, x, mutable=["batch_stats"])
+    yb, mb = b.apply(vb, x, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(ma)[0]), np.asarray(jax.tree.leaves(mb)[0]),
+        atol=1e-6,
+    )
+
+
+def test_subsampled_bn_model_trains():
+    from simhand_tpu.models.contrastive import (
+        ContrastiveConfig,
+        contrastive_loss_from_projections,
+    )
+
+    model = ContrastiveModel(resnet_size="18", bn_subsample=4)
+    rng = np.random.default_rng(92)
+    imgs = jnp.asarray(rng.normal(size=(8, 32, 32, 3)).astype(np.float32))
+    v = model.init(jax.random.key(0), imgs)
+
+    def loss(p):
+        (_, proj), _ = model.apply(
+            {"params": p, "batch_stats": v["batch_stats"]}, imgs,
+            train=True, mutable=["batch_stats"],
+        )
+        l, _ = contrastive_loss_from_projections(
+            proj, {}, ContrastiveConfig(experiment_type="simclr")
+        )
+        return l
+
+    g = jax.grad(loss)(v["params"])
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))

@@ -55,7 +55,12 @@ class SubsampledBatchNorm(nn.Module):
             mean = ra_mean.value
             var = ra_var.value
         else:
-            sub = x[:: self.subsample] if self.subsample > 1 else x
+            # contiguous leading rows: the batch is shuffled, so this is a
+            # uniform subset, and the slice's backward is a cheap pad
+            # (a strided x[::k] backward lowers to a scatter — measured
+            # 1.6x SLOWER than exact BN)
+            n_sub = max(x.shape[0] // self.subsample, 1)
+            sub = x[:n_sub] if self.subsample > 1 else x
             sub32 = sub.astype(jnp.float32)
             axes = tuple(range(sub32.ndim - 1))
             mean = jnp.mean(sub32, axis=axes)

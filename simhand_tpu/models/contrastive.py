@@ -99,12 +99,14 @@ class ContrastiveModel(nn.Module):
     stem: str = "conv7"
     # >1: subsampled-stats BN (models/norm.py) — perf opt-in
     bn_subsample: int = 1
+    bn_stop_gradient_stats: bool = False
 
     def setup(self):
         enc_cls = RESNETS[self.resnet_size]
         enc_kw = dict(
             dtype=self.dtype, bn_axis_name=self.bn_axis_name, stem=self.stem,
             bn_subsample=self.bn_subsample,
+            bn_stop_gradient_stats=self.bn_stop_gradient_stats,
         )
         if self.remat:
             # static_argnums indexes (module, x, train) — `train` must be

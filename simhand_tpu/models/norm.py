@@ -25,6 +25,9 @@ class SubsampledBatchNorm(nn.Module):
     """BatchNorm with strided-subset forward statistics."""
 
     subsample: int = 4
+    # stop gradients through mean/var (the "no-backprop-through-stats"
+    # BN variant): the backward collapses to dgamma/dbeta reduces only.
+    stop_gradient_stats: bool = False
     use_running_average: bool = False
     momentum: float = 0.9
     epsilon: float = 1e-5
@@ -77,6 +80,9 @@ class SubsampledBatchNorm(nn.Module):
                     self.momentum * ra_var.value + (1 - self.momentum) * var
                 )
 
+        if self.stop_gradient_stats and not use_ra:
+            mean = jax.lax.stop_gradient(mean)
+            var = jax.lax.stop_gradient(var)
         # fold stats+affine into one per-channel multiply-add applied in
         # the compute dtype — fuses into the producing conv's epilogue,
         # no extra f32 activation pass

@@ -107,22 +107,24 @@ class ResNet(nn.Module):
     # space-to-depth(2) input, which tiles far better onto the MXU than a
     # 3-channel 7x7. Convert torch weights via s2d_stem_kernel().
     stem: str = "conv7"
-    # >1: compute forward BN statistics from every k-th batch row
-    # (simhand_tpu.models.norm) — cuts the stats-reduction HBM traffic
-    # that dominates the rn50@128² step. 1 = exact reference BN.
+    # >1: compute forward BN statistics from a leading batch subset
+    # (simhand_tpu.models.norm). 1 = exact reference BN.
     bn_subsample: int = 1
+    # stop gradients through BN statistics (with the custom norm)
+    bn_stop_gradient_stats: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         conv = partial(
             nn.Conv, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32
         )
-        if self.bn_subsample > 1:
+        if self.bn_subsample > 1 or self.bn_stop_gradient_stats:
             from simhand_tpu.models.norm import SubsampledBatchNorm
 
             norm = partial(
                 SubsampledBatchNorm,
                 subsample=self.bn_subsample,
+                stop_gradient_stats=self.bn_stop_gradient_stats,
                 use_running_average=not train,
                 momentum=self.norm_momentum,
                 epsilon=self.norm_epsilon,

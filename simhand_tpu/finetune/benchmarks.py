@@ -156,48 +156,78 @@ class DexYCB:
         }
 
 
-class AssemblyHandsEgo:
-    """AssemblyHands egocentric split via the official v1-1 annotation
-    triplet (reference: minimal-hand/datasets/assembly_hands.py:140-250):
+class AssemblyHands:
+    """AssemblyHands via the official v1-1 annotation triplet
+    (reference: minimal-hand/datasets/assembly_hands.py:140-250):
 
-      annotations/<split>/assemblyhands_<split>_ego_data_v1-1.json
+      annotations/<split>/assemblyhands_<split>_<modality>_data_v1-1.json
           COCO-style: images (seq_name/camera/frame_idx/file_name),
           annotations (image_id, per-hand bbox, joint_valid of 42)
-      assemblyhands_<split>_ego_calib_v1-1.json
+      assemblyhands_<split>_<modality>_calib_v1-1.json
           per-seq intrinsics/extrinsics keyed <camera>_mono10bit
       assemblyhands_<split>_joint_3d_v1-1.json
           per-seq/frame 42-joint world coordinates (mm)
 
+    ``modality``: "ego" (4 headset mono cameras) or "exo" (8 fixed RGB
+    cameras) — the same schema, different camera sets/filenames.
+
     Each annotated hand with a bbox becomes one sample: world joints are
     projected through the frame's camera (x_cam = R x + t), the crop is
     cut around the bbox at scale 1.75 with the intrinsics updated.
+
+    Like the reference, an ``invalid_<split>_<modality>.txt`` skip list
+    (lines ``<file_name>,<hand_id>``) is honoured when present; without
+    one, hands with fewer than 10 valid joints are dropped
+    (reference: assembly_hands.py:200-215).
     """
 
     CROP_SCALE = 1.75
     CROP_SIZE = 224
     NUM_JOINTS = 21
 
-    def __init__(self, root_dir: str, split: str = "train", crop: bool = True):
+    def __init__(self, root_dir: str, split: str = "train",
+                 crop: bool = True, modality: str = "ego"):
+        assert modality in ("ego", "exo"), modality
         self.root = root_dir
         self.crop = crop
+        self.modality = modality
         anno_dir = os.path.join(root_dir, "annotations", split)
         with open(os.path.join(
-                anno_dir, f"assemblyhands_{split}_ego_data_v1-1.json")) as f:
+                anno_dir,
+                f"assemblyhands_{split}_{modality}_data_v1-1.json")) as f:
             data = json.load(f)
         with open(os.path.join(
-                anno_dir, f"assemblyhands_{split}_ego_calib_v1-1.json")) as f:
+                anno_dir,
+                f"assemblyhands_{split}_{modality}_calib_v1-1.json")) as f:
             self.calib = json.load(f)["calibration"]
         with open(os.path.join(
                 anno_dir, f"assemblyhands_{split}_joint_3d_v1-1.json")) as f:
             self.joints3d = json.load(f)["annotations"]
 
+        invalid: set[str] = set()
+        invalid_path = os.path.join(
+            anno_dir, f"invalid_{split}_{modality}.txt")
+        if os.path.exists(invalid_path):
+            with open(invalid_path) as f:
+                invalid = {line.strip() for line in f if line.strip()}
+
         self.images = {img["id"]: img for img in data["images"]}
         self.samples: list[tuple[dict, str]] = []
         for ann in data["annotations"]:
-            for hand in ("right", "left"):
+            file_name = self.images[ann["image_id"]]["file_name"]
+            for hand_id, hand in enumerate(("right", "left")):
                 bbox = (ann.get("bbox") or {}).get(hand)
-                if bbox is not None:
-                    self.samples.append((ann, hand))
+                if bbox is None:
+                    continue
+                if f"{file_name},{hand_id}" in invalid:
+                    continue
+                jv = ann.get("joint_valid")
+                if not invalid and jv is not None:
+                    jv = np.asarray(jv, np.float32).reshape(-1)
+                    half = jv[:21] if hand == "right" else jv[21:42]
+                    if half.sum() < 10:
+                        continue
+                self.samples.append((ann, hand))
 
     def __len__(self):
         return len(self.samples)
@@ -252,6 +282,20 @@ class AssemblyHandsEgo:
                 img, kp2d, self.CROP_SIZE, self.CROP_SCALE, K
             )
         return {"image": img, "K": K, "joint": joint, "kp2d": kp2d}
+
+
+class AssemblyHandsEgo(AssemblyHands):
+    """Egocentric modality (reference CLI key ``ah-ego``/``ah``)."""
+
+    def __init__(self, root_dir, split="train", crop=True):
+        super().__init__(root_dir, split, crop=crop, modality="ego")
+
+
+class AssemblyHandsExo(AssemblyHands):
+    """Exocentric modality (reference CLI key ``ah-exo``)."""
+
+    def __init__(self, root_dir, split="train", crop=True):
+        super().__init__(root_dir, split, crop=crop, modality="exo")
 
 
 class Ego4DHands2D:

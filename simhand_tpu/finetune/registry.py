@@ -20,6 +20,10 @@ def get_dataset(name: str, root_dir: str, split: str = "train", **kw) -> Any:
         from simhand_tpu.finetune.benchmarks import AssemblyHandsEgo
 
         return AssemblyHandsEgo(root_dir, split, **kw)
+    if name == "ah-exo":
+        from simhand_tpu.finetune.benchmarks import AssemblyHandsExo
+
+        return AssemblyHandsExo(root_dir, split, **kw)
     if name == "stb":
         from simhand_tpu.finetune.benchmarks import STB
 

@@ -180,3 +180,81 @@ def test_assemblyhands_reader(tmp_path):
     uvw = s["joint"] @ s["K"].T
     reproj = uvw[:, :2] / uvw[:, 2:]
     np.testing.assert_allclose(reproj, s["kp2d"], atol=2.0)
+
+
+def test_assemblyhands_exo_and_filters(tmp_path):
+    """Exo modality reads the _exo_ triplet; joint_valid<10 hands and
+    invalid-list entries are dropped like the reference."""
+    import json as _json
+
+    from simhand_tpu.finetune.benchmarks import AssemblyHandsEgo, AssemblyHandsExo
+
+    root = tmp_path / "ah"
+    anno = root / "annotations" / "val"
+    anno.mkdir(parents=True)
+    (root / "images").mkdir()
+    rng = np.random.default_rng(4)
+
+    K = [[400.0, 0, 320], [0, 400.0, 240], [0, 0, 1]]
+    Rt = np.hstack([np.eye(3), np.zeros((3, 1))]).tolist()
+    world = (rng.uniform(-50, 50, (42, 3)) + np.array([0, 0, 600])).tolist()
+
+    data = {
+        "images": [
+            {"id": 0, "seq_name": "seqA", "camera": "exo0", "frame_idx": 7,
+             "file_name": "a.jpg", "width": 640, "height": 480},
+            {"id": 1, "seq_name": "seqA", "camera": "exo0", "frame_idx": 7,
+             "file_name": "b.jpg", "width": 640, "height": 480},
+        ],
+        "annotations": [
+            # right valid, left has <10 valid joints -> left dropped
+            {"id": 0, "image_id": 0,
+             "bbox": {"right": [100, 100, 300, 300],
+                      "left": [100, 100, 300, 300]},
+             "joint_valid": [1] * 21 + [1] * 5 + [0] * 16},
+            # both valid, but right (hand_id 0) is on the invalid list
+            {"id": 1, "image_id": 1,
+             "bbox": {"right": [100, 100, 300, 300],
+                      "left": [100, 100, 300, 300]},
+             "joint_valid": [1] * 42},
+        ],
+    }
+    calib = {"calibration": {"seqA": {
+        "intrinsics": {"exo0_mono10bit": K},
+        "extrinsics": {"000007": {"exo0_mono10bit": Rt}},
+    }}}
+    joints = {"annotations": {"seqA": {"000007": {"world_coord": world}}}}
+
+    with open(anno / "assemblyhands_val_exo_data_v1-1.json", "w") as f:
+        _json.dump(data, f)
+    with open(anno / "assemblyhands_val_exo_calib_v1-1.json", "w") as f:
+        _json.dump(calib, f)
+    with open(anno / "assemblyhands_val_joint_3d_v1-1.json", "w") as f:
+        _json.dump(joints, f)
+    img = rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+    cv2.imwrite(str(root / "images" / "a.jpg"), img)
+    cv2.imwrite(str(root / "images" / "b.jpg"), img)
+
+    # joint_valid filter alone (no invalid list): drops ann0's left hand
+    ds = AssemblyHandsExo(str(root), "val")
+    assert len(ds) == 3
+    s = ds[0]
+    assert s["image"].shape == (224, 224, 3)
+    assert s["joint"].shape == (21, 3)
+
+    # invalid list takes over completely when present
+    with open(anno / "invalid_val_exo.txt", "w") as f:
+        f.write("b.jpg,0\n")
+    ds = AssemblyHandsExo(str(root), "val")
+    names = [(ds.images[a["image_id"]]["file_name"], h) for a, h in ds.samples]
+    assert ("b.jpg", "right") not in names
+    assert ("a.jpg", "left") in names  # joint_valid filter not re-applied
+    assert len(ds) == 3
+
+    # ego reader does not see the exo triplet
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        AssemblyHandsEgo(str(root), "val")
+
+    from simhand_tpu.finetune.registry import get_dataset
+    assert len(get_dataset("ah-exo", str(root), "val")) == 3

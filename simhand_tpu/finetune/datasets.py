@@ -227,3 +227,78 @@ def detnet_batch_iterator(dataset, builder: DetnetSampleBuilder, batch_size: int
             for k in ("joint", "joint_root", "joint_bone"):
                 batch[k] = np.stack([s[k] for s in samples])
         yield batch
+
+
+# --------------------------------------------------------------------------
+# SIK1M: (relative bone length, MANO beta) pairs for ShapeNet training
+# --------------------------------------------------------------------------
+
+# 0.1 x the per-bone std of relative bone lengths, added as train-time
+# noise (reference: minimal-hand/datasets/SIK1M.py:56-60; bone 6 — the
+# reference bone itself — has zero std by construction).
+SIK1M_NOISE = np.array(
+    [0.02906406, 0.02663224, 0.01769793, 0.0274501, 0.02573783, 0.0222863,
+     0.0, 0.02855567, 0.02330295, 0.0253288, 0.0266308, 0.02495683,
+     0.03685857, 0.02430637, 0.02349446], np.float64,
+) / 10.0
+
+
+class SIK1M:
+    """npy-pair dataset ``data_bone.npy`` (N, 15) / ``data_shape.npy``
+    (N, 10) with an 80/20 head/tail split and Gaussian bone-length noise
+    on every fetch (reference: minimal-hand/datasets/SIK1M.py:12-79).
+    """
+
+    def __init__(self, data_root: str, data_split: str = "train",
+                 split_ratio: float = 0.8, seed: int = 0):
+        import os
+
+        self.bone_len = np.load(os.path.join(data_root, "data_bone.npy"))
+        self.shape = np.load(os.path.join(data_root, "data_shape.npy"))
+        n = self.shape.shape[0]
+        n_train = int(n * split_ratio)
+        if data_split == "train":
+            self.index = np.arange(n_train)
+        elif data_split in ("val", "test"):
+            self.index = np.arange(n_train, n)
+        else:
+            self.index = np.arange(n)
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.index)
+
+    def __getitem__(self, i: int) -> dict:
+        j = self.index[i]
+        noise = SIK1M_NOISE * self._rng.standard_normal(15)
+        return {
+            "rel_bone_len": self.bone_len[j] + noise,
+            "shape": self.shape[j].copy(),
+        }
+
+
+def create_sik1m_data(mano, total: int, out_dir: str,
+                      batch: int = 4096, seed: int = 0) -> None:
+    """Generates the SIK1M npy pair: beta ~ 3*N(0,1) -> MANO relative bone
+    lengths, written as data_bone.npy / data_shape.npy
+    (reference: minimal-hand/create_data.py:55-113)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from simhand_tpu.finetune.mano import relative_bone_lengths
+
+    bones_fn = jax.jit(lambda b: relative_bone_lengths(mano, b))
+    data_bone = np.zeros((total, 15), np.float64)
+    data_shape = np.zeros((total, 10), np.float64)
+    key = jax.random.key(seed)
+    for t0 in range(0, total, batch):
+        t1 = min(t0 + batch, total)
+        key, sub = jax.random.split(key)
+        beta = 3.0 * jax.random.normal(sub, (t1 - t0, 10))
+        data_bone[t0:t1] = np.asarray(bones_fn(beta), np.float64)
+        data_shape[t0:t1] = np.asarray(beta, np.float64)
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, "data_bone.npy"), data_bone)
+    np.save(os.path.join(out_dir, "data_shape.npy"), data_shape)

@@ -28,6 +28,12 @@ def main(argv=None):
     p.add_argument("--lr_decay_gamma", type=float, default=0.3)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None, help="msgpack params output path")
+    p.add_argument(
+        "--data_root", default=None,
+        help="SIK1M npy directory (data_bone/data_shape.npy). Default: "
+        "generate (beta, bone) pairs on the fly through the MANO model "
+        "each step — same distribution, no dataset files needed.",
+    )
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -49,24 +55,48 @@ def main(argv=None):
     tx = optax.adam(schedule)
     opt_state = tx.init(params)
 
-    @jax.jit
-    def step(params, opt_state, key):
-        beta_gt = 3.0 * jax.random.normal(key, (args.batch_size, 10))
-        bones = relative_bone_lengths(mano, beta_gt)
+    sik1m = None
+    if args.data_root is not None:
+        from simhand_tpu.finetune.datasets import SIK1M
 
+        sik1m = SIK1M(args.data_root, "train", seed=args.seed)
+        logger.info("SIK1M: %d training pairs from %s", len(sik1m),
+                    args.data_root)
+
+    def loss_and_grads(params, bones):
         def loss_fn(p):
             beta = model.apply({"params": p}, bones)
             loss, _ = sik_loss(mano, beta, bones)
             return loss
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        return jax.value_and_grad(loss_fn)(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        beta_gt = 3.0 * jax.random.normal(key, (args.batch_size, 10))
+        bones = relative_bone_lengths(mano, beta_gt)
+        loss, grads = loss_and_grads(params, bones)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    @jax.jit
+    def step_data(params, opt_state, bones):
+        loss, grads = loss_and_grads(params, bones)
         updates, opt_state2 = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state2, loss
 
     key = jax.random.key(args.seed + 1)
+    rng = np.random.default_rng(args.seed + 1)
     for i in range(args.steps):
-        key, sub = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, sub)
+        if sik1m is not None:
+            idx = rng.integers(0, len(sik1m), args.batch_size)
+            bones = np.stack([sik1m[j]["rel_bone_len"] for j in idx]).astype(
+                np.float32
+            )
+            params, opt_state, loss = step_data(params, opt_state, bones)
+        else:
+            key, sub = jax.random.split(key)
+            params, opt_state, loss = step(params, opt_state, sub)
         if i % 200 == 0:
             logger.info("step %d sik_loss %.5f", i, float(loss))
 

@@ -45,6 +45,21 @@ def translate_encodings(enc: Array, translate_x: Array, translate_y: Array) -> A
     return jnp.stack([enc[..., 0] + dx, enc[..., 1] + dy], axis=-1)
 
 
+def translate_encodings_exact(
+    enc: Array, translate_x: Array, translate_y: Array
+) -> Array:
+    """Exact-shift variant: adds the normalized jitter directly, without the
+    per-sample spread scaling (the reference's "new strategy", imported by
+    every model but never called — kept for API parity).
+
+    Reference: src/models/utils.py:686-701 (``translate_encodings2``).
+    """
+    return jnp.stack(
+        [enc[..., 0] + translate_x[:, None], enc[..., 1] + translate_y[:, None]],
+        axis=-1,
+    )
+
+
 def rotate_encodings(enc: Array, angle_deg: Array) -> Array:
     """Rotate (B, P, 2) encodings by ``angle_deg`` about their (detached)
     centroid, OpenCV 2D-rotation convention.

@@ -117,6 +117,63 @@ def normalize_heatmap(heatmap: Array, beta: Array | None = None) -> Array:
     return h / s
 
 
+def heatmap_transformation_matrix(
+    jitter_x: Array,
+    jitter_y: Array,
+    scale: Array,
+    angle: Array,
+    heatmap_dim: tuple[float, float],
+) -> Array:
+    """Batched (B, 2, 3) affine that reverts heatmap augmentation: a pixel
+    translation composed with a scaled rotation about the heatmap centre
+    (legacy heatmap path; reference: src/models/utils.py:766-806 via kornia —
+    here built from the cv2-convention rotation matrix directly).
+    """
+    from simhand_tpu.core.geometry import opencv_rotation_matrix
+
+    jx = jnp.asarray(jitter_x, jnp.float32).reshape(-1)
+    jy = jnp.asarray(jitter_y, jnp.float32).reshape(-1)
+    cx = jnp.full_like(jx, heatmap_dim[1] / 2.0)
+    cy = jnp.full_like(jy, heatmap_dim[0] / 2.0)
+    rot = opencv_rotation_matrix(
+        cx, cy, jnp.asarray(angle, jnp.float32).reshape(-1),
+        jnp.asarray(scale, jnp.float32).reshape(-1),
+    )  # (B, 2, 3)
+    # rot @ [[1,0,jx],[0,1,jy],[0,0,1]]: the translation folds into col 2
+    t = rot[..., 0] * jx[:, None] + rot[..., 1] * jy[:, None] + rot[..., 2]
+    return jnp.concatenate([rot[..., :2], t[..., None]], axis=-1)
+
+
+def affine_mat_to_theta(affine_mat: Array, w: float, h: float) -> Array:
+    """Converts a pixel-space (B, 2, 3) affine into the normalized
+    [-1, 1]-grid theta used by grid-sample-style warps
+    (reference: src/models/utils.py:808-835).
+    """
+    m = jnp.asarray(affine_mat, jnp.float32)
+    theta = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    m[:, 0, 0],
+                    m[:, 0, 1] * h / w,
+                    m[:, 0, 2] * 2.0 / w + m[:, 0, 0] + m[:, 0, 1] - 1.0,
+                ],
+                axis=-1,
+            ),
+            jnp.stack(
+                [
+                    m[:, 1, 0] * w / h,
+                    m[:, 1, 1],
+                    m[:, 1, 2] * 2.0 / h + m[:, 1, 0] + m[:, 1, 1] - 1.0,
+                ],
+                axis=-1,
+            ),
+        ],
+        axis=-2,
+    )
+    return theta
+
+
 class Denoiser(nn.Module):
     """zroot denoiser MLP (reference: src/models/utils.py:716-725)."""
 

@@ -179,3 +179,43 @@ def test_reconstruct_joints_close_to_prediction(mano):
     t = (t - t[0]) / (np.linalg.norm(t[4] - t[0]) + 1e-9)
     r = (r - r[0]) / (np.linalg.norm(r[4] - r[0]) + 1e-9)
     assert np.abs(t - r).max() < 0.2
+
+
+def test_sik1m_dataset_roundtrip(mano, tmp_path):
+    """create_sik1m_data writes the npy pair; SIK1M splits 80/20 and adds
+    the reference's per-bone noise on fetch
+    (reference: minimal-hand/datasets/SIK1M.py, create_data.py)."""
+    from simhand_tpu.finetune.datasets import SIK1M, SIK1M_NOISE, create_sik1m_data
+
+    create_sik1m_data(mano, 50, str(tmp_path), batch=16, seed=0)
+    bones = np.load(tmp_path / "data_bone.npy")
+    shapes = np.load(tmp_path / "data_shape.npy")
+    assert bones.shape == (50, 15) and shapes.shape == (50, 10)
+    # stored bone lengths really are the MANO bone lengths of the betas
+    expect = np.asarray(relative_bone_lengths(mano, jnp.asarray(shapes[:4])))
+    np.testing.assert_allclose(bones[:4], expect, atol=1e-5)
+
+    train = SIK1M(str(tmp_path), "train", seed=1)
+    test = SIK1M(str(tmp_path), "test", seed=1)
+    assert len(train) == 40 and len(test) == 10
+    s = train[0]
+    assert s["shape"].shape == (10,) and s["rel_bone_len"].shape == (15,)
+    # noise is bounded by a few sigma of the reference vector; bone 6 exact
+    diff = np.abs(s["rel_bone_len"] - bones[0])
+    assert diff[6] == 0.0
+    assert (diff[SIK1M_NOISE > 0] < 6 * SIK1M_NOISE[SIK1M_NOISE > 0]).all()
+
+
+def test_train_shape_net_from_sik1m(mano, tmp_path, monkeypatch):
+    """--data_root path trains from the npy dataset."""
+    import simhand_tpu.finetune.mano as mano_mod
+    from simhand_tpu.finetune.datasets import create_sik1m_data
+    from simhand_tpu.finetune.train_shape_net import main as tsn_main
+
+    create_sik1m_data(mano, 64, str(tmp_path / "sik"), batch=32, seed=0)
+    monkeypatch.setattr(mano_mod, "ManoModel", lambda path: mano)
+    params = tsn_main([
+        "--mano", "unused", "--steps", "3", "--batch_size", "8",
+        "--data_root", str(tmp_path / "sik"),
+    ])
+    assert params is not None

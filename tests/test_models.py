@@ -315,3 +315,61 @@ def test_subsampled_bn_model_trains():
 
     g = jax.grad(loss)(v["params"])
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+
+
+def test_translate_encodings_exact():
+    """Exact-shift variant adds normalized jitter directly
+    (reference: src/models/utils.py:686-701)."""
+    from simhand_tpu.models.equivariance import translate_encodings_exact
+
+    enc = jnp.asarray(np.random.default_rng(0).normal(size=(4, 64, 2)))
+    tx = jnp.asarray([0.1, -0.2, 0.0, 0.5])
+    ty = jnp.asarray([-0.3, 0.4, 0.1, 0.0])
+    out = translate_encodings_exact(enc, tx, ty)
+    np.testing.assert_allclose(
+        np.asarray(out[..., 0]), np.asarray(enc[..., 0]) + np.asarray(tx)[:, None],
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[..., 1]), np.asarray(enc[..., 1]) + np.asarray(ty)[:, None],
+        rtol=1e-6,
+    )
+
+
+def test_heatmap_transformation_matrix_and_theta():
+    """The (B,2,3) matrix equals rotation-about-centre composed with a pixel
+    translation; theta conversion matches the torch affine_grid formula."""
+    import cv2
+
+    from simhand_tpu.models.heads import (
+        affine_mat_to_theta,
+        heatmap_transformation_matrix,
+    )
+
+    jx, jy = np.float32([3.0, -2.0]), np.float32([-1.0, 4.0])
+    scale, angle = np.float32([1.2, 0.8]), np.float32([30.0, -15.0])
+    dim = (32.0, 32.0)
+    mats = np.asarray(heatmap_transformation_matrix(jx, jy, scale, angle, dim))
+    for i in range(2):
+        rot = cv2.getRotationMatrix2D((16.0, 16.0), float(angle[i]),
+                                      float(scale[i]))
+        trans = np.array([[1, 0, jx[i]], [0, 1, jy[i]], [0, 0, 1]], np.float64)
+        expected = rot @ trans
+        np.testing.assert_allclose(mats[i], expected, atol=1e-5)
+
+    theta = np.asarray(affine_mat_to_theta(jnp.asarray(mats), 32.0, 32.0))
+    m = mats
+    np.testing.assert_allclose(
+        theta[:, 0, 2], m[:, 0, 2] * 2 / 32 + m[:, 0, 0] + m[:, 0, 1] - 1,
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(theta[:, 0, 0], m[:, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(theta[:, 1, 0], m[:, 1, 0], atol=1e-6)
+
+
+def test_model_tester_cli(capsys):
+    from simhand_tpu.experiments.model_tester import main
+
+    main(["--resnet_size", "18"])
+    out = capsys.readouterr().out
+    assert "total parameters" in out and "resnet18" in out

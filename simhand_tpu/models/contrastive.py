@@ -139,6 +139,37 @@ class ContrastiveModel(nn.Module):
         return FEATURE_DIMS[self.resnet_size]
 
 
+def projection_stats(
+    projections: Array, axis_name: str | None = None
+) -> dict[str, Array]:
+    """Per-axis statistics of the raw projections viewed as (B, D/2, 2)
+    points — mean/median/min/max over points, batch-averaged — logged
+    every step by the equivariant family
+    (reference: src/models/unsupervised/peclr_model.py:43-46,98-112).
+
+    Under sharding, stats are per-shard then pmean'd — matching the
+    reference's DataParallel metric averaging.
+    """
+    two_b, d = projections.shape
+    b = two_b // 2
+    pts = jax.lax.stop_gradient(projections).reshape(two_b, d // 2, 2)
+    out: dict[str, Array] = {}
+    for name, half in (("proj1", pts[:b]), ("proj2", pts[b:])):
+        stats = {
+            "mean": jnp.mean(half, axis=1),
+            "median": jnp.median(half, axis=1),
+            "min": jnp.min(half, axis=1),
+            "max": jnp.max(half, axis=1),
+        }
+        for stat, v in stats.items():
+            batch_avg = jnp.mean(v, axis=0)  # (2,)
+            if axis_name is not None:
+                batch_avg = jax.lax.pmean(batch_avg, axis_name)
+            out[f"{name}x_{stat}"] = batch_avg[0]
+            out[f"{name}y_{stat}"] = batch_avg[1]
+    return out
+
+
 def transformed_projections(
     projections: Array, batch: dict, cfg: ContrastiveConfig
 ):
@@ -282,18 +313,3 @@ def contrastive_loss_from_projections(
     return loss, (z1, z2)
 
 
-def projection_stats(projections: Array, name: str) -> dict:
-    """Per-axis stats of (B, P, 2)-viewed projections (reference logging:
-    e.g. src/models/unsupervised/simhand_w_model.py:138-152)."""
-    p = projections.reshape(projections.shape[0], -1, 2)
-    mean = jnp.mean(p, axis=1)
-    median = jnp.median(p, axis=1)
-    pmin = jnp.min(p, axis=1)
-    pmax = jnp.max(p, axis=1)
-    out = {}
-    for axis, ax_name in ((0, "x"), (1, "y")):
-        out[f"{name}{ax_name}_mean"] = jnp.mean(mean, axis=0)[axis]
-        out[f"{name}{ax_name}_median"] = jnp.mean(median, axis=0)[axis]
-        out[f"{name}{ax_name}_min"] = jnp.mean(pmin, axis=0)[axis]
-        out[f"{name}{ax_name}_max"] = jnp.mean(pmax, axis=0)[axis]
-    return out

@@ -29,8 +29,10 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from simhand_tpu.models.contrastive import (
+    _EQUIVARIANT,
     ContrastiveConfig,
     contrastive_loss_from_projections,
+    projection_stats,
 )
 from simhand_tpu.parallel.mesh import DATA_AXIS
 
@@ -71,16 +73,20 @@ def _step_fn(
             mutable=["batch_stats"],
         )
         loss, _ = contrastive_loss_from_projections(proj, batch, cfg, axis_name)
-        return loss, mutated["batch_stats"]
+        return loss, (mutated["batch_stats"], proj)
 
-    (loss, new_batch_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params
-    )
+    (loss, (new_batch_stats, proj)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
     if axis_name is not None:
         grads = jax.lax.pmean(grads, axis_name)
     new_state = state.apply_gradients(grads=grads)
     new_state = new_state.replace(batch_stats=new_batch_stats)
     metrics = {"contrastive_loss": loss}
+    if cfg.experiment_type in _EQUIVARIANT:
+        # per-step raw-projection stats, logged by the reference's
+        # equivariant family (peclr_model.py:43-46)
+        metrics.update(projection_stats(proj, axis_name))
     return new_state, metrics
 
 

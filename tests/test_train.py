@@ -182,3 +182,59 @@ def test_cross_replica_bn_trains_on_mesh():
     batch = synthetic_batch(rng, B=16)
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["contrastive_loss"]))
+
+
+def test_projection_stats_metrics_logged_for_equivariant():
+    """peclr-family steps emit the reference's per-axis projection stats
+    (reference: peclr_model.py:98-112); simclr steps do not."""
+    import jax
+    import jax.numpy as jnp
+
+    from simhand_tpu.models import ContrastiveModel
+    from simhand_tpu.models.contrastive import ContrastiveConfig, projection_stats
+    from simhand_tpu.train import OptimizerConfig, create_train_state, make_train_step
+
+    model = ContrastiveModel(resnet_size="18")
+    state = create_train_state(
+        model, OptimizerConfig(train_iters_per_epoch=4, epochs=1),
+        jax.random.key(0), input_shape=(2, 32, 32, 3),
+    )
+    rng = np.random.default_rng(0)
+    B = 4
+    batch = {
+        "transformed_image1": jnp.asarray(rng.normal(size=(B, 32, 32, 3)), jnp.float32),
+        "transformed_image2": jnp.asarray(rng.normal(size=(B, 32, 32, 3)), jnp.float32),
+        "jitter_x_1": jnp.zeros(B), "jitter_x_2": jnp.zeros(B),
+        "jitter_y_1": jnp.zeros(B), "jitter_y_2": jnp.zeros(B),
+        "angle_1": jnp.zeros(B), "angle_2": jnp.zeros(B),
+    }
+    cfg = ContrastiveConfig(experiment_type="peclr",
+                            augmentation=("crop", "rotate", "resize"))
+    _, metrics = make_train_step(model, cfg)(state, batch)
+    for k in ("proj1x_mean", "proj1y_median", "proj2x_min", "proj2y_max"):
+        assert k in metrics
+    assert np.isfinite(float(metrics["proj1x_mean"]))
+
+    state2 = create_train_state(
+        model, OptimizerConfig(train_iters_per_epoch=4, epochs=1),
+        jax.random.key(0), input_shape=(2, 32, 32, 3),
+    )
+    _, m2 = make_train_step(model, ContrastiveConfig(experiment_type="simclr"))(
+        state2, batch
+    )
+    assert not any(k.startswith("proj") for k in m2)
+
+    # oracle: stats of a known tensor
+    proj = jnp.asarray(rng.normal(size=(8, 128)), jnp.float32)
+    s = projection_stats(proj)
+    pts = np.asarray(proj).reshape(8, 64, 2)
+    np.testing.assert_allclose(
+        float(s["proj1x_mean"]), pts[:4, :, 0].mean(), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(s["proj2y_max"]), pts[4:, :, 1].max(axis=1).mean(), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(s["proj1y_median"]),
+        np.median(pts[:4, :, 1], axis=1).mean(), rtol=1e-5,
+    )

@@ -78,3 +78,53 @@ def joint_maps(joint: np.ndarray, hm_res: int = 32):
 def xyz_from_maps(xyz_norm: np.ndarray, root: np.ndarray, bone: float) -> np.ndarray:
     """Inverse of the location-map normalization."""
     return xyz_norm * bone + root[None]
+
+
+# normalized-depth window for uvd encodings
+# (reference: minimal-hand/config.py:1-2)
+DEPTH_RANGE = 3.0
+DEPTH_MIN = -1.5
+
+
+def xyz2uvd(xyz, joint_root, joint_bone, intr, inp_res: int = 256):
+    """Camera-space (B, J, 3) xyz -> normalized (B, J, 3) uvd: uv in [0, 1]
+    of ``inp_res``, depth root-relative and bone-scaled then mapped through
+    the [DEPTH_MIN, DEPTH_MIN+DEPTH_RANGE] window
+    (reference: minimal-hand/utils/handutils.py:134-176).
+
+    Args:
+      xyz: (B, J, 3) camera coordinates.
+      joint_root: (B, 3) root joint (its z is the root depth).
+      joint_bone: (B,) or (B, 1) reference bone length.
+      intr: (B, 3, 3) intrinsics.
+    """
+    import jax.numpy as jnp
+
+    xyz = jnp.asarray(xyz)
+    z = xyz[..., 2]
+    xy = xyz[..., :2] / z[..., None]
+    root_depth = jnp.asarray(joint_root)[:, 2][:, None]
+    bone = jnp.asarray(joint_bone).reshape(-1, 1)
+    depth = (z - root_depth) / bone
+    f = jnp.stack([intr[:, 0, 0], intr[:, 1, 1]], axis=-1)[:, None, :]
+    c = jnp.stack([intr[:, 0, 2], intr[:, 1, 2]], axis=-1)[:, None, :]
+    uv = (xy * f + c) / inp_res
+    depth = (depth - DEPTH_MIN) / DEPTH_RANGE
+    return jnp.concatenate([uv, depth[..., None]], axis=-1)
+
+
+def uvd2xyz(uvd, joint_root, joint_bone, intr, inp_res: int = 256):
+    """Inverse of :func:`xyz2uvd`
+    (reference: minimal-hand/utils/handutils.py:95-131)."""
+    import jax.numpy as jnp
+
+    uvd = jnp.asarray(uvd)
+    uv = uvd[..., :2] * inp_res
+    depth = uvd[..., 2] * DEPTH_RANGE + DEPTH_MIN
+    root_depth = jnp.asarray(joint_root)[:, 2][:, None]
+    bone = jnp.asarray(joint_bone).reshape(-1, 1)
+    z = depth * bone + root_depth
+    f = jnp.stack([intr[:, 0, 0], intr[:, 1, 1]], axis=-1)[:, None, :]
+    c = jnp.stack([intr[:, 0, 2], intr[:, 1, 2]], axis=-1)[:, None, :]
+    xy = (uv - c) / f * z[..., None]
+    return jnp.concatenate([xy, z[..., None]], axis=-1)

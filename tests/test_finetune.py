@@ -279,3 +279,25 @@ def test_crop_and_resize_via_joints_updates_K():
     kp_reproj = uvw2[:, :2] / uvw2[:, 2:]
     np.testing.assert_allclose(kp_reproj, kp_new, atol=1.5)
     assert kp_new.min() >= -5 and kp_new.max() <= 229
+
+
+def test_uvd_xyz_roundtrip():
+    """xyz2uvd/uvd2xyz invert each other and match the reference depth
+    window (reference: minimal-hand/utils/handutils.py:95-176)."""
+    from simhand_tpu.finetune.maps import DEPTH_MIN, DEPTH_RANGE, uvd2xyz, xyz2uvd
+
+    rng = np.random.default_rng(0)
+    B, J = 3, 21
+    xyz = rng.uniform(-0.1, 0.1, (B, J, 3)).astype(np.float32)
+    xyz[..., 2] += 0.6
+    root = xyz[:, 9]
+    bone = np.linalg.norm(xyz[:, 9] - xyz[:, 0], axis=-1)
+    intr = np.tile(np.array(
+        [[400.0, 0, 128], [0, 400.0, 128], [0, 0, 1]], np.float32), (B, 1, 1))
+
+    uvd = np.asarray(xyz2uvd(xyz, root, bone, intr))
+    # root depth encodes to the middle of the window
+    np.testing.assert_allclose(
+        uvd[:, 9, 2], (0.0 - DEPTH_MIN) / DEPTH_RANGE, atol=1e-6)
+    back = np.asarray(uvd2xyz(uvd, root, bone, intr))
+    np.testing.assert_allclose(back, xyz, atol=1e-5)

@@ -102,7 +102,10 @@ def main():
     def run(state, batch, n):
         def body(_, carry):
             s, _ = carry
-            return _step_fn(s, batch, model=model, cfg=cfg, axis_name=None)
+            s2, metrics = _step_fn(s, batch, model=model, cfg=cfg, axis_name=None)
+            # carry only the loss: the step's metric dict varies by
+            # experiment type (projection stats for the equivariant family)
+            return s2, {"contrastive_loss": metrics["contrastive_loss"]}
         _, metrics = jax.lax.fori_loop(
             0, n, body, (state, {"contrastive_loss": jnp.float32(0)})
         )

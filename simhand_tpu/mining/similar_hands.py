@@ -95,6 +95,33 @@ def topk_similar(
     return best_d, best_i
 
 
+def _topk_all_queries(
+    q_kp: Array,      # (Q, 21, 2), Q a multiple of query_chunk
+    q_vids: Array,    # (Q,)
+    q_ids: Array,     # (Q,) global indices
+    db: Array,        # (N, 21, 2)
+    db_vids: Array,   # (N,)
+    k: int,
+    query_chunk: int,
+    db_chunk: int,
+):
+    """Streams all query chunks against the database inside one program
+    (a lax.scan over query chunks wrapping the streaming top-k)."""
+    Q = q_kp.shape[0]
+    n_q = Q // query_chunk
+    qs = q_kp.reshape(n_q, query_chunk, *q_kp.shape[1:])
+    vs = q_vids.reshape(n_q, query_chunk)
+    ids = q_ids.reshape(n_q, query_chunk)
+
+    def body(_, inputs):
+        q, qv, qi = inputs
+        d, i = topk_similar(q, qv, qi, db, db_vids, k=k, db_chunk=db_chunk)
+        return None, (d, i)
+
+    _, (d, i) = jax.lax.scan(body, None, (qs, vs, ids))
+    return d.reshape(Q, k), i.reshape(Q, k)
+
+
 @partial(jax.jit, static_argnames=("k", "query_chunk", "db_chunk"))
 def topk_similar_all(
     kp: Array,        # (N, 21, 2), N padded to a multiple of query_chunk
@@ -108,18 +135,40 @@ def topk_similar_all(
     (per-chunk host dispatch was 99% of wall time over a remote tunnel).
     """
     N = kp.shape[0]
-    n_q = N // query_chunk
-    q_kp = kp.reshape(n_q, query_chunk, *kp.shape[1:])
-    q_vids = vids.reshape(n_q, query_chunk)
-    q_ids = jnp.arange(N, dtype=jnp.int32).reshape(n_q, query_chunk)
+    q_ids = jnp.arange(N, dtype=jnp.int32)
+    return _topk_all_queries(
+        kp, vids, q_ids, kp, vids, k=k, query_chunk=query_chunk,
+        db_chunk=db_chunk,
+    )
 
-    def body(_, inputs):
-        q, qv, qi = inputs
-        d, i = topk_similar(q, qv, qi, kp, vids, k=k, db_chunk=db_chunk)
-        return None, (d, i)
 
-    _, (d, i) = jax.lax.scan(body, None, (q_kp, q_vids, q_ids))
-    return d.reshape(N, k), i.reshape(N, k)
+def make_sharded_topk_all(mesh, k: int, query_chunk: int, db_chunk: int,
+                          axis_name: str = "data"):
+    """Mesh-sharded whole-corpus mining, still ONE program + ONE fetch:
+    queries (and their video/global ids) are sharded over ``axis_name``,
+    the keypoint database is replicated in every device's HBM (340 MB f32
+    at the 2M-corpus scale — fits), and each device scans only its query
+    shard. This is the BASELINE north-star shape: a sharded device-side
+    top-k pairing job.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(q_kp, q_vids, q_ids, db, db_vids):
+        return _topk_all_queries(
+            q_kp, q_vids, q_ids, db, db_vids,
+            k=k, query_chunk=query_chunk, db_chunk=db_chunk,
+        )
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name), P(axis_name), P(), P()),
+            out_specs=(P(axis_name), P(axis_name)),
+            check_vma=False,
+        )
+    )
 
 
 def mine_similar_hands(
@@ -144,18 +193,24 @@ def mine_similar_hands(
     vids = jnp.asarray(video_ids, jnp.int32)
 
     if single_program is None:
-        single_program = mesh is None
-    if single_program and mesh is None:
+        single_program = True
+    if single_program:
         # one fused program, one host round trip
-        pad = (-N) % query_chunk
+        n_dev = 1 if mesh is None else mesh.devices.size
+        pad = (-N) % (query_chunk * n_dev)
         kp_p = kp
         vids_p = vids
         if pad:
             kp_p = jnp.concatenate([kp, jnp.zeros((pad, 21, 2), kp.dtype)])
             vids_p = jnp.concatenate([vids, jnp.full((pad,), -3, vids.dtype)])
-        d, i = topk_similar_all(
-            kp_p, vids_p, k=k, query_chunk=query_chunk, db_chunk=db_chunk
-        )
+        if mesh is None:
+            d, i = topk_similar_all(
+                kp_p, vids_p, k=k, query_chunk=query_chunk, db_chunk=db_chunk
+            )
+        else:
+            fn = make_sharded_topk_all(mesh, k, query_chunk, db_chunk)
+            ids = jnp.arange(kp_p.shape[0], dtype=jnp.int32)
+            d, i = fn(kp_p, vids_p, ids, kp, vids)
         return np.asarray(d[:N]), np.asarray(i[:N])
 
     fn = topk_similar

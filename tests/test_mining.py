@@ -123,3 +123,23 @@ def test_single_program_mining_matches_chunked():
     )
     np.testing.assert_array_equal(got_i, want_i)
     np.testing.assert_allclose(got_d, want_d, rtol=1e-4)
+
+
+def test_sharded_single_program_and_chunked_modes_match():
+    """Both mesh modes — the fused one-program path (default) and the
+    per-chunk dispatch path — match brute force, incl. padding."""
+    from simhand_tpu.parallel import create_mesh
+
+    rng = np.random.default_rng(11)
+    N = 57  # not divisible by query_chunk * n_devices
+    kp = rng.uniform(0, 1, size=(N, 21, 2)).astype(np.float32)
+    vids = rng.integers(0, 6, size=N).astype(np.int32)
+    want_d, want_i = brute_force(kp, vids, 2)
+    mesh = create_mesh()
+    for single in (True, False):
+        got_d, got_i = mine_similar_hands(
+            kp, vids, k=2, query_chunk=4, db_chunk=16, mesh=mesh,
+            single_program=single,
+        )
+        np.testing.assert_array_equal(got_i, want_i)
+        np.testing.assert_allclose(got_d, want_d, rtol=1e-4, atol=1e-6)

@@ -304,8 +304,10 @@ def main(argv=None):
                 )
                 metric_logger.log_figure("sample_pair", fig, global_step)
             if args.log_interval == "step":
+                # one device fetch for the whole metric dict (loss +
+                # the equivariant family's projection stats)
                 metric_logger.log_metrics(
-                    {"contrastive_loss": float(metrics["contrastive_loss"])},
+                    {k: float(v) for k, v in jax.device_get(metrics).items()},
                     global_step,
                 )
             else:

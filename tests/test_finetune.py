@@ -301,3 +301,47 @@ def test_uvd_xyz_roundtrip():
         uvd[:, 9, 2], (0.0 - DEPTH_MIN) / DEPTH_RANGE, atol=1e-6)
     back = np.asarray(uvd2xyz(uvd, root, bone, intr))
     np.testing.assert_allclose(back, xyz, atol=1e-5)
+
+
+def test_detnet_sharded_step_runs_on_mesh():
+    """The detnet train step jits and runs over the 8-device mesh
+    (per-replica BN, pmean'd grads)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from simhand_tpu.finetune.detnet import DetNet
+    from simhand_tpu.finetune.train import make_detnet_train_step
+    from simhand_tpu.parallel import create_mesh
+    from simhand_tpu.parallel.mesh import replicate, shard_batch
+    from simhand_tpu.train.state import TrainState
+
+    mesh = create_mesh()
+    n_dev = mesh.devices.size
+    model = DetNet(resnet_size="18")
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 128, 128, 3)))
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        tx=optax.adam(1e-4), batch_stats=variables["batch_stats"],
+    )
+    state = replicate(mesh, state)
+
+    rng = np.random.default_rng(0)
+    B = 2 * n_dev
+    batch = {
+        "img": rng.normal(size=(B, 128, 128, 3)).astype(np.float32),
+        "hm": rng.uniform(0, 1, (B, 32, 32, 21)).astype(np.float32),
+        "dm": rng.normal(size=(B, 32, 32, 21, 3)).astype(np.float32),
+        "lm": rng.normal(size=(B, 32, 32, 21, 3)).astype(np.float32),
+        "hm_veil": np.ones((B, 21), np.float32),
+        "flag_3d": np.ones((B,), np.float32),
+    }
+    batch = shard_batch(mesh, batch)
+    step = make_detnet_train_step(model, mesh=mesh)
+    new_state, parts = step(state, batch)
+    for v in parts.values():
+        assert np.isfinite(float(v))
+    # params actually moved
+    p0 = jax.tree.leaves(state.params)[0]
+    p1 = jax.tree.leaves(new_state.params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))

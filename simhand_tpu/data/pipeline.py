@@ -262,8 +262,10 @@ def batch_iterator(
     for b in range(nb):
         work.put(b)
 
+    stop = threading.Event()
+
     def worker():
-        while True:
+        while not stop.is_set():
             try:
                 b = work.get_nowait()
             except queue.Empty:
@@ -286,8 +288,22 @@ def batch_iterator(
     for t in threads:
         t.start()
 
-    for b in range(nb):
-        with done_lock:
-            while b not in done:
-                done_lock.wait()
-            yield done.pop(b)
+    try:
+        for b in range(nb):
+            with done_lock:
+                while b not in done:
+                    done_lock.wait()
+                yield done.pop(b)
+    finally:
+        # An abandoned generator (e.g. --max_steps breaking mid-epoch)
+        # must not leave workers running inside cv2 C++ code when the
+        # interpreter exits — that aborts with "terminate called without
+        # an active exception". Drain the queue and join.
+        stop.set()
+        try:
+            while True:
+                work.get_nowait()
+        except queue.Empty:
+            pass
+        for t in threads:
+            t.join(timeout=10)

@@ -288,7 +288,8 @@ def main(argv=None):
             num_threads=num_workers, raw=args.device_augment,
             sample_weights=weights,
         )
-        for batch_idx, batch in enumerate(device_prefetch(host_iter, mesh)):
+        prefetch_iter = device_prefetch(host_iter, mesh)
+        for batch_idx, batch in enumerate(prefetch_iter):
             state, metrics = step_fn(state, batch)
             global_step += 1
             if batch_idx == 4 and epoch % 5 == 0 and not args.device_augment:
@@ -338,6 +339,11 @@ def main(argv=None):
                 logger.warning("checkpoint saved at step %d; exiting", global_step)
                 stop = True
                 break
+        # close the loader NOW (runtime, not interpreter shutdown): an
+        # abandoned generator would otherwise finalize with cv2 worker
+        # threads mid-flight and abort the process at exit
+        prefetch_iter.close()
+        host_iter.close()
         if epoch_losses:
             mean_loss = float(np.mean([float(l) for l in epoch_losses]))
         else:

@@ -100,6 +100,7 @@ class ContrastiveModel(nn.Module):
     # >1: subsampled-stats BN (models/norm.py) — perf opt-in
     bn_subsample: int = 1
     bn_stop_gradient_stats: bool = False
+    bn_fused: bool = False
 
     def setup(self):
         enc_cls = RESNETS[self.resnet_size]
@@ -107,6 +108,7 @@ class ContrastiveModel(nn.Module):
             dtype=self.dtype, bn_axis_name=self.bn_axis_name, stem=self.stem,
             bn_subsample=self.bn_subsample,
             bn_stop_gradient_stats=self.bn_stop_gradient_stats,
+            bn_fused=self.bn_fused,
         )
         if self.remat:
             # static_argnums indexes (module, x, train) — `train` must be

@@ -112,13 +112,28 @@ class ResNet(nn.Module):
     bn_subsample: int = 1
     # stop gradients through BN statistics (with the custom norm)
     bn_stop_gradient_stats: bool = False
+    # hand-written analytic BN VJP (models/fused_bn.py) — exact semantics,
+    # minimal 2-reduce backward
+    bn_fused: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         conv = partial(
             nn.Conv, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32
         )
-        if self.bn_subsample > 1 or self.bn_stop_gradient_stats:
+        if self.bn_fused:
+            from simhand_tpu.models.fused_bn import FusedBatchNorm
+
+            norm = partial(
+                FusedBatchNorm,
+                use_running_average=not train,
+                momentum=self.norm_momentum,
+                epsilon=self.norm_epsilon,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                axis_name=self.bn_axis_name if train else None,
+            )
+        elif self.bn_subsample > 1 or self.bn_stop_gradient_stats:
             from simhand_tpu.models.norm import SubsampledBatchNorm
 
             norm = partial(

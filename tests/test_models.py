@@ -373,3 +373,103 @@ def test_model_tester_cli(capsys):
     main(["--resnet_size", "18"])
     out = capsys.readouterr().out
     assert "total parameters" in out and "resnet18" in out
+
+
+def test_fused_bn_matches_flax_exactly():
+    """FusedBatchNorm: identical outputs/running stats to flax BatchNorm,
+    and the hand-written VJP matches autodiff of the same math."""
+    import flax.linen as nn_
+    import jax
+
+    from simhand_tpu.models.fused_bn import FusedBatchNorm
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(8, 4, 4, 6)), jnp.float32)
+
+    ref = nn_.BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5)
+    fused = FusedBatchNorm(use_running_average=False, momentum=0.9,
+                           epsilon=1e-5)
+    vr = ref.init(jax.random.key(0), x)
+    vf = fused.init(jax.random.key(0), x)
+    # same param/stat trees (bias/scale under params, mean/var stats)
+    assert set(vr["params"]) == set(vf["params"])
+
+    # make params non-trivial
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, 6), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=6), jnp.float32)
+    pr = {"params": {"scale": scale, "bias": bias}, "batch_stats": vr["batch_stats"]}
+
+    yr, mr = ref.apply(pr, x, mutable=["batch_stats"])
+    yf, mf = fused.apply(pr, x, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yr), atol=2e-6)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(mf["batch_stats"][k]), np.asarray(mr["batch_stats"][k]),
+            atol=1e-6,
+        )
+
+    # gradients: fused VJP vs autodiff through flax BN
+    def loss_ref(params, x):
+        y, _ = ref.apply(
+            {"params": params, "batch_stats": vr["batch_stats"]}, x,
+            mutable=["batch_stats"],
+        )
+        return jnp.sum(jnp.sin(y))
+
+    def loss_fused(params, x):
+        y, _ = fused.apply(
+            {"params": params, "batch_stats": vf["batch_stats"]}, x,
+            mutable=["batch_stats"],
+        )
+        return jnp.sum(jnp.sin(y))
+
+    params = {"scale": scale, "bias": bias}
+    gr_p, gr_x = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+    gf_p, gf_x = jax.grad(loss_fused, argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(gf_x), np.asarray(gr_x), atol=3e-5)
+    np.testing.assert_allclose(
+        np.asarray(gf_p["scale"]), np.asarray(gr_p["scale"]), atol=3e-5)
+    np.testing.assert_allclose(
+        np.asarray(gf_p["bias"]), np.asarray(gr_p["bias"]), atol=3e-5)
+
+    # eval mode uses running averages identically
+    ref_e = nn_.BatchNorm(use_running_average=True, momentum=0.9,
+                          epsilon=1e-5)
+    fused_e = FusedBatchNorm(use_running_average=True, momentum=0.9,
+                             epsilon=1e-5)
+    pr2 = {"params": params, "batch_stats": mr["batch_stats"]}
+    ye_r = ref_e.apply(pr2, x)
+    ye_f = fused_e.apply(pr2, x)
+    np.testing.assert_allclose(np.asarray(ye_f), np.asarray(ye_r), atol=2e-6)
+
+
+def test_fused_bn_resnet_trains():
+    """bn_fused resnet runs a full value_and_grad step with finite loss
+    and grads matching the default-BN model closely."""
+    import jax
+
+    from simhand_tpu.models.resnet import resnet18
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(4, 32, 32, 3)), jnp.float32)
+
+    m_ref = resnet18()
+    m_fused = resnet18(bn_fused=True)
+    v = m_ref.init(jax.random.key(0), x, train=False)
+
+    def loss(model, params, stats):
+        def f(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": stats}, x, train=True,
+                mutable=["batch_stats"],
+            )
+            return jnp.mean(out ** 2)
+        return jax.value_and_grad(f)(params)
+
+    l_r, g_r = loss(m_ref, v["params"], v["batch_stats"])
+    l_f, g_f = loss(m_fused, v["params"], v["batch_stats"])
+    np.testing.assert_allclose(float(l_f), float(l_r), rtol=1e-5)
+    flat_r = jnp.concatenate([a.ravel() for a in jax.tree.leaves(g_r)])
+    flat_f = jnp.concatenate([a.ravel() for a in jax.tree.leaves(g_f)])
+    np.testing.assert_allclose(
+        np.asarray(flat_f), np.asarray(flat_r), atol=5e-4)

@@ -28,8 +28,8 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _bn_train(x, scale, bias, eps):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _bn_train(x, scale, bias, eps, stop_gradient_stats=False):
     y, _, _ = _bn_fwd_impl(x, scale, bias, eps)
     return y
 
@@ -46,13 +46,13 @@ def _bn_fwd_impl(x, scale, bias, eps):
     return y, mu, var
 
 
-def _bn_fwd(x, scale, bias, eps):
+def _bn_fwd(x, scale, bias, eps, stop_gradient_stats=False):
     y, mu, var = _bn_fwd_impl(x, scale, bias, eps)
     inv = jax.lax.rsqrt(var + eps)
     return y, (x, mu, inv, scale)
 
 
-def _bn_bwd(eps, res, dy):
+def _bn_bwd(eps, stop_gradient_stats, res, dy):
     x, mu, inv, scale = res
     axes = tuple(range(x.ndim - 1))
     m = x.size // x.shape[-1]
@@ -63,7 +63,12 @@ def _bn_bwd(eps, res, dy):
     sum_dy = jnp.sum(dy32, axis=axes)
     sum_dy_xhat = jnp.sum(dy32 * xhat, axis=axes)
     a = scale.astype(jnp.float32) * inv
-    dx = a * (dy32 - sum_dy / m - xhat * (sum_dy_xhat / m))
+    if stop_gradient_stats:
+        # stats treated as constants: dx collapses to a scaled dy;
+        # dgamma/dbeta keep the two reduces
+        dx = a * dy32
+    else:
+        dx = a * (dy32 - sum_dy / m - xhat * (sum_dy_xhat / m))
     return (
         dx.astype(x.dtype),
         sum_dy_xhat.astype(scale.dtype),
@@ -89,6 +94,8 @@ class FusedBatchNorm(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     axis_name: str | None = None
+    # combine with the stop-gradient-through-stats variant (norm.py)
+    stop_gradient_stats: bool = False
 
     @nn.compact
     def __call__(self, x, use_running_average: bool | None = None):
@@ -120,7 +127,7 @@ class FusedBatchNorm(nn.Module):
             b32 = bias.astype(jnp.float32) - ra_mean.value * a32
             return x * a32.astype(self.dtype) + b32.astype(self.dtype)
 
-        y = _bn_train(x, scale, bias, self.epsilon)
+        y = _bn_train(x, scale, bias, self.epsilon, self.stop_gradient_stats)
         if not self.is_initializing():
             # recompute stats outside the VJP for the running update —
             # XLA CSEs them with the forward's (identical expressions)

@@ -126,6 +126,7 @@ class ResNet(nn.Module):
 
             norm = partial(
                 FusedBatchNorm,
+                stop_gradient_stats=self.bn_stop_gradient_stats,
                 use_running_average=not train,
                 momentum=self.norm_momentum,
                 epsilon=self.norm_epsilon,

@@ -473,3 +473,43 @@ def test_fused_bn_resnet_trains():
     flat_f = jnp.concatenate([a.ravel() for a in jax.tree.leaves(g_f)])
     np.testing.assert_allclose(
         np.asarray(flat_f), np.asarray(flat_r), atol=5e-4)
+
+
+def test_fused_bn_stop_gradient_matches_subsampled_variant():
+    """bn_fused + stop_gradient_stats == SubsampledBatchNorm(stop_gradient
+    _stats=True) in outputs and gradients."""
+    import jax
+
+    from simhand_tpu.models.fused_bn import FusedBatchNorm
+    from simhand_tpu.models.norm import SubsampledBatchNorm
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(8, 4, 4, 6)), jnp.float32)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, 6), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=6), jnp.float32)
+
+    a = FusedBatchNorm(use_running_average=False, stop_gradient_stats=True)
+    b = SubsampledBatchNorm(subsample=1, stop_gradient_stats=True,
+                            use_running_average=False)
+    va, vb = a.init(jax.random.key(0), x), b.init(jax.random.key(0), x)
+    params = {"scale": scale, "bias": bias}
+
+    def loss(mod, stats, p, x):
+        y, _ = mod.apply({"params": p, "batch_stats": stats}, x,
+                         mutable=["batch_stats"])
+        return jnp.sum(jnp.sin(y))
+
+    la, (ga_p, ga_x) = (
+        loss(a, va["batch_stats"], params, x),
+        jax.grad(lambda p, x: loss(a, va["batch_stats"], p, x),
+                 argnums=(0, 1))(params, x),
+    )
+    lb, (gb_p, gb_x) = (
+        loss(b, vb["batch_stats"], params, x),
+        jax.grad(lambda p, x: loss(b, vb["batch_stats"], p, x),
+                 argnums=(0, 1))(params, x),
+    )
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ga_x), np.asarray(gb_x), atol=3e-5)
+    np.testing.assert_allclose(
+        np.asarray(ga_p["scale"]), np.asarray(gb_p["scale"]), atol=3e-5)

@@ -73,6 +73,7 @@ def main():
         experiment_type="simhand_w",
         augmentation=("crop", "rotate", "resize"),
         image_side=float(side),
+        use_pallas=os.environ.get("BENCH_USE_PALLAS", "0") == "1",
     )
     B = per_chip_batch
     rng = np.random.default_rng(0)

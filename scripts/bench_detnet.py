@@ -31,8 +31,10 @@ def main():
     side = int(os.environ.get("BENCH_SIDE", "128"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     backbone = os.environ.get("BENCH_MODEL", "50")
+    bn_sg = os.environ.get("BENCH_BN_SG", "0") == "1"
 
-    model = DetNet(resnet_size=backbone, dtype=jnp.bfloat16)
+    model = DetNet(resnet_size=backbone, dtype=jnp.bfloat16,
+                   bn_stop_gradient_stats=bn_sg)
     variables = model.init(jax.random.key(0), jnp.zeros((1, side, side, 3)))
     tx = optax.adam(1e-4)
     state = TrainState.create(

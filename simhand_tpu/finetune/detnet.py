@@ -70,10 +70,16 @@ class DetNet(nn.Module):
     njoints: int = 21
     hm_res: int = 32
     dtype: Any = jnp.float32
+    # backbone BN perf options (see simhand_tpu/models/{norm,fused_bn}.py)
+    bn_stop_gradient_stats: bool = False
+    bn_fused: bool = False
 
     def setup(self):
         self.encoder = RESNETS[self.resnet_size](
-            dtype=self.dtype, pool=False, name="encoder"
+            dtype=self.dtype, pool=False,
+            bn_stop_gradient_stats=self.bn_stop_gradient_stats,
+            bn_fused=self.bn_fused,
+            name="encoder",
         )
         # I2L-MeshNet deconv stack: 2048 -> 256 -> 256 -> 256, each 2x up.
         self.deconvs = [

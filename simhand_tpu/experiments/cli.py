@@ -89,5 +89,9 @@ def get_general_args(
     parser.add_argument("--cache_dir", type=str, default=None,
                         help="TPU: packed-crop cache dir (built on first use); "
                              "removes per-step JPEG decode from the input path")
+    parser.add_argument("--fault_inject_preempt_step", type=int, default=None,
+                        help="testing: simulate a SIGTERM preemption at this "
+                             "global step (exercises the checkpoint-and-exit "
+                             "path deterministically)")
 
     return parser.parse_args()

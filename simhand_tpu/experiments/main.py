@@ -330,6 +330,10 @@ def main(argv=None):
             if max_steps is not None and global_step >= max_steps:
                 stop = True
                 break
+            if (getattr(args, "fault_inject_preempt_step", None) is not None
+                    and global_step >= args.fault_inject_preempt_step):
+                # deterministic preemption drill: same path as SIGTERM
+                preempted["flag"] = True
             if preempted["flag"]:
                 manager.save(
                     global_step, jax.device_get(state),

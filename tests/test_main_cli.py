@@ -49,3 +49,31 @@ def test_train_resume_eval_cycle(tmp_path, monkeypatch):
     # eval-only restores and reports without training
     state3 = run_main(root, ["-epochs", "1", "--eval"])
     assert state3 is not None
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_fault_injected_preemption_checkpoints_and_exits(tmp_path, monkeypatch):
+    """--fault_inject_preempt_step drives the SIGTERM preemption path:
+    the run checkpoints at that step and stops cleanly."""
+    monkeypatch.setenv("BASE_PATH", str(tmp_path / "runs"))
+    import importlib
+
+    import simhand_tpu.constants as constants
+
+    importlib.reload(constants)
+    import simhand_tpu.experiments.main as main_mod
+
+    importlib.reload(main_mod)
+
+    root = str(tmp_path)
+    state = run_main(
+        root, ["-epochs", "5", "--fault_inject_preempt_step", "2"]
+    )
+    assert int(np.asarray(state.step)) == 2
+    ckpt_dir = os.path.join(
+        str(tmp_path / "runs"), "saved_models", "cli_it", "checkpoints"
+    )
+    import orbax.checkpoint as ocp
+
+    mgr = ocp.CheckpointManager(ckpt_dir)
+    assert 2 in mgr.all_steps()

@@ -1,0 +1,128 @@
+"""Per-kernel breakdown of the flagship train step on the attached chip.
+
+Traces a few steps with jax.profiler, parses the chrome trace directly
+(works over the remote tunnel — no tensorboard needed), and prints the
+top device kernels by total time with their share of the step. Use it
+to target pallas work at the actual hot fusions.
+
+  python scripts/profile_step.py [--steps 3] [--out /tmp/simhand_prof]
+  BENCH_BN_SG=1 python scripts/profile_step.py   # profile a variant
+"""
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def load_trace_events(log_dir: str):
+    paths = glob.glob(
+        os.path.join(log_dir, "**", "*.trace.json.gz"), recursive=True
+    )
+    if not paths:
+        raise FileNotFoundError(f"no trace.json.gz under {log_dir}")
+    with gzip.open(sorted(paths)[-1], "rt") as f:
+        return json.load(f)["traceEvents"]
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--steps", type=int, default=3)
+    p.add_argument("--out", default="/tmp/simhand_prof")
+    p.add_argument("--top", type=int, default=15)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    # reuse bench.py's model/step construction exactly
+    os.environ.setdefault("BENCH_STEPS", str(max(args.steps, 2)))
+    import bench
+
+    from simhand_tpu.models import ContrastiveModel
+    from simhand_tpu.models.contrastive import ContrastiveConfig
+    from simhand_tpu.train import (
+        OptimizerConfig,
+        create_train_state,
+        make_train_step,
+    )
+
+    B = int(os.environ.get("BENCH_BATCH", "256"))
+    side = int(os.environ.get("BENCH_SIDE", "128"))
+    model = ContrastiveModel(
+        resnet_size=os.environ.get("BENCH_MODEL", "50"), dtype=jnp.bfloat16,
+        bn_stop_gradient_stats=os.environ.get("BENCH_BN_SG", "0") == "1",
+        bn_fused=os.environ.get("BENCH_BN_FUSED", "0") == "1",
+    )
+    cfg = ContrastiveConfig(
+        experiment_type="simhand_w",
+        augmentation=("crop", "rotate", "resize"),
+        image_side=float(side),
+    )
+    state = create_train_state(
+        model, OptimizerConfig(train_iters_per_epoch=1000, epochs=100),
+        jax.random.key(0), input_shape=(2, side, side, 3),
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "transformed_image1": rng.normal(size=(B, side, side, 3)).astype(np.float32),
+        "transformed_image2": rng.normal(size=(B, side, side, 3)).astype(np.float32),
+        "jitter_x_1": rng.uniform(-10, 0, B).astype(np.float32),
+        "jitter_x_2": rng.uniform(-10, 0, B).astype(np.float32),
+        "jitter_y_1": rng.uniform(-10, 0, B).astype(np.float32),
+        "jitter_y_2": rng.uniform(-10, 0, B).astype(np.float32),
+        "angle_1": rng.uniform(-45, 45, B).astype(np.float32),
+        "angle_2": rng.uniform(-45, 45, B).astype(np.float32),
+        "joints1_aug": rng.uniform(0, side, (B, 21, 3)).astype(np.float32),
+        "joints2_aug": rng.uniform(0, side, (B, 21, 3)).astype(np.float32),
+        "joints1_ori": rng.uniform(0, 1, (B, 21, 3)).astype(np.float32),
+        "joints2_ori": rng.uniform(0, 1, (B, 21, 3)).astype(np.float32),
+    }
+    batch = {k: jax.device_put(jnp.asarray(v)) for k, v in batch.items()}
+    # step WITHOUT donation so it can repeat under the trace
+    from functools import partial
+
+    from simhand_tpu.train.loop import _step_fn
+
+    step = jax.jit(partial(_step_fn, model=model, cfg=cfg, axis_name=None))
+    state, m = step(state, batch)  # compile outside the trace
+    _ = float(m["contrastive_loss"])
+
+    jax.profiler.start_trace(args.out)
+    for _ in range(args.steps):
+        state, m = step(state, batch)
+    _ = float(m["contrastive_loss"])
+    jax.profiler.stop_trace()
+
+    events = load_trace_events(args.out)
+    # device kernels: complete events on TPU device tracks with XLA names
+    per_name = collections.Counter()
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        cat = str(e.get("args", {}).get("device_type", "")).lower()
+        name = e.get("name", "")
+        if not name or name.startswith(("$", "process_")):
+            continue
+        # keep TPU op events (xla ops carry run_id/program metadata)
+        a = e.get("args", {})
+        if "run_id" not in a and "program_id" not in a and cat != "tpu":
+            continue
+        per_name[name] += e["dur"]
+        total += e["dur"]
+    print(f"total device op time: {total / 1e3 / args.steps:.2f} ms/step")
+    for name, dur in per_name.most_common(args.top):
+        print(f"{dur / total * 100:5.1f}%  {dur / 1e3 / args.steps:8.2f} ms  {name[:90]}")
+
+
+if __name__ == "__main__":
+    main()

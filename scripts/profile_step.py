@@ -103,25 +103,35 @@ def main():
     jax.profiler.stop_trace()
 
     events = load_trace_events(args.out)
-    # device kernels: complete events on TPU device tracks with XLA names
+    # per-op device events live on the "XLA Ops" track
+    import re
+
+    tids = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tids[(e.get("pid"), e.get("tid"))] = e["args"]["name"]
     per_name = collections.Counter()
+    families = collections.Counter()
+    args_of = {}
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
             continue
-        cat = str(e.get("args", {}).get("device_type", "")).lower()
-        name = e.get("name", "")
-        if not name or name.startswith(("$", "process_")):
+        if tids.get((e.get("pid"), e.get("tid"))) != "XLA Ops":
             continue
-        # keep TPU op events (xla ops carry run_id/program metadata)
-        a = e.get("args", {})
-        if "run_id" not in a and "program_id" not in a and cat != "tpu":
-            continue
+        name = e["name"]
         per_name[name] += e["dur"]
+        families[re.sub(r"[.\d]+$", "", name)] += e["dur"]
+        args_of.setdefault(name, e.get("args", {}))
         total += e["dur"]
     print(f"total device op time: {total / 1e3 / args.steps:.2f} ms/step")
+    print("\n-- kernel families --")
+    for name, dur in families.most_common(10):
+        print(f"{dur / total * 100:5.1f}%  {dur / 1e3 / args.steps:8.2f} ms  {name}")
+    print("\n-- top kernels --")
     for name, dur in per_name.most_common(args.top):
-        print(f"{dur / total * 100:5.1f}%  {dur / 1e3 / args.steps:8.2f} ms  {name[:90]}")
+        src = str(args_of[name].get("tf_op", ""))[:70]
+        print(f"{dur / total * 100:5.1f}%  {dur / 1e3 / args.steps:8.2f} ms  {name[:40]:40s} {src}")
 
 
 if __name__ == "__main__":

@@ -59,7 +59,8 @@ def main():
     resnet_size = os.environ.get("BENCH_MODEL", "50")
     bn_subsample = int(os.environ.get("BENCH_BN_SUBSAMPLE", "1"))
     bn_sg = os.environ.get("BENCH_BN_SG", "0") == "1"
-    bn_fused = os.environ.get("BENCH_BN_FUSED", "0") == "1"
+    bn_fused_env = os.environ.get("BENCH_BN_FUSED", "0")
+    bn_fused = bn_fused_env if bn_fused_env == "pallas" else bn_fused_env == "1"
     model = ContrastiveModel(
         resnet_size=resnet_size, dtype=jnp.bfloat16, stem=stem,
         bn_subsample=bn_subsample, bn_stop_gradient_stats=bn_sg,

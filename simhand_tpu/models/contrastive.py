@@ -100,7 +100,7 @@ class ContrastiveModel(nn.Module):
     # >1: subsampled-stats BN (models/norm.py) — perf opt-in
     bn_subsample: int = 1
     bn_stop_gradient_stats: bool = False
-    bn_fused: bool = False
+    bn_fused: bool | str = False
 
     def setup(self):
         enc_cls = RESNETS[self.resnet_size]

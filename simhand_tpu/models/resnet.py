@@ -113,8 +113,9 @@ class ResNet(nn.Module):
     # stop gradients through BN statistics (with the custom norm)
     bn_stop_gradient_stats: bool = False
     # hand-written analytic BN VJP (models/fused_bn.py) — exact semantics,
-    # minimal 2-reduce backward
-    bn_fused: bool = False
+    # minimal 2-reduce backward. True/"xla" = jnp reduces; "pallas" = the
+    # one-pass dual-reduce kernel.
+    bn_fused: bool | str = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -126,6 +127,7 @@ class ResNet(nn.Module):
 
             norm = partial(
                 FusedBatchNorm,
+                reduce_impl="pallas" if self.bn_fused == "pallas" else "xla",
                 stop_gradient_stats=self.bn_stop_gradient_stats,
                 use_running_average=not train,
                 momentum=self.norm_momentum,

@@ -513,3 +513,33 @@ def test_fused_bn_stop_gradient_matches_subsampled_variant():
     np.testing.assert_allclose(np.asarray(ga_x), np.asarray(gb_x), atol=3e-5)
     np.testing.assert_allclose(
         np.asarray(ga_p["scale"]), np.asarray(gb_p["scale"]), atol=3e-5)
+
+
+def test_fused_bn_pallas_reduce_matches_xla():
+    """reduce_impl='pallas' (interpret on CPU) gives the same gradients as
+    the jnp path across a full rn18 step."""
+    import jax
+
+    from simhand_tpu.models.resnet import resnet18
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(8, 32, 32, 3)), jnp.float32)
+    m_x = resnet18(bn_fused=True)
+    m_p = resnet18(bn_fused="pallas")
+    v = m_x.init(jax.random.key(0), x, train=False)
+
+    def grads(model):
+        def f(p):
+            out, _ = model.apply(
+                {"params": p, "batch_stats": v["batch_stats"]}, x, train=True,
+                mutable=["batch_stats"],
+            )
+            return jnp.mean(out ** 2)
+        return jax.value_and_grad(f)(v["params"])
+
+    l_x, g_x = grads(m_x)
+    l_p, g_p = grads(m_p)
+    np.testing.assert_allclose(float(l_p), float(l_x), rtol=1e-6)
+    fx = jnp.concatenate([a.ravel() for a in jax.tree.leaves(g_x)])
+    fp = jnp.concatenate([a.ravel() for a in jax.tree.leaves(g_p)])
+    np.testing.assert_allclose(np.asarray(fp), np.asarray(fx), atol=1e-4)

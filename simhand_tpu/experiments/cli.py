@@ -89,6 +89,13 @@ def get_general_args(
     parser.add_argument("--cache_dir", type=str, default=None,
                         help="TPU: packed-crop cache dir (built on first use); "
                              "removes per-step JPEG decode from the input path")
+    parser.add_argument("--bn_variant", default="exact",
+                        choices=["exact", "stop_grad", "fused", "fused_pallas"],
+                        help="TPU: BatchNorm implementation. exact = flax BN "
+                             "(reference semantics, default); stop_grad = "
+                             "no-backprop-through-stats (+12%% measured); "
+                             "fused / fused_pallas = hand-written analytic "
+                             "VJP (exact gradients; see models/fused_bn.py)")
     parser.add_argument("--fault_inject_preempt_step", type=int, default=None,
                         help="testing: simulate a SIGTERM preemption at this "
                              "global step (exercises the checkpoint-and-exit "

@@ -142,11 +142,15 @@ def main(argv=None):
     iters_per_epoch = max(num_samples // batch_size, 1)
     epochs = int(train_param["epochs"])
 
+    bn_variant = getattr(args, "bn_variant", "exact")
     model = ContrastiveModel(
         resnet_size=str(model_param["resnet_size"]),
         proj_hidden_dim=int(model_param["projection_head_hidden_dim"]),
         proj_output_dim=int(model_param["output_dim"]),
         dtype=jnp.bfloat16 if str(train_param.get("precision")) in ("16", "bf16") else jnp.float32,
+        bn_stop_gradient_stats=bn_variant == "stop_grad",
+        bn_fused="pallas" if bn_variant == "fused_pallas"
+        else bn_variant == "fused",
     )
     opt_cfg = OptimizerConfig(
         lr=float(model_param["lr"]),

@@ -52,3 +52,9 @@ def test_nonlinear_weight_flags():
     ])
     assert args.non_linear_lambda_pos == 2.5
     assert args.non_linear_lambda_neg == 0.01
+
+
+def test_bn_variant_flag():
+    args = parse(["--experiment_type", "simclr", "--bn_variant", "stop_grad"])
+    assert args.bn_variant == "stop_grad"
+    assert parse(["--experiment_type", "simclr"]).bn_variant == "exact"

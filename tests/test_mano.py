@@ -219,3 +219,40 @@ def test_train_shape_net_from_sik1m(mano, tmp_path, monkeypatch):
         "--data_root", str(tmp_path / "sik"),
     ])
     assert params is not None
+
+
+def test_optimize_shape_cli(mano, monkeypatch, capsys):
+    """The batch shape-fitting comparison driver runs end to end."""
+    import simhand_tpu.finetune.mano as mano_mod
+    from simhand_tpu.finetune.optimize_shape import main as opt_main
+
+    monkeypatch.setattr(mano_mod, "ManoModel", lambda path: mano)
+    opt_main(["--mano", "unused", "--n", "2"])
+    out = capsys.readouterr().out
+    assert "PSO" in out and "LM" in out
+
+
+def test_demo_cli_on_synthetic_video(mano, monkeypatch, tmp_path):
+    """demo.py consumes a tiny synthetic video, overlays skeletons, writes
+    the annotated output (untrained detnet — output content is arbitrary
+    but the pipeline must run)."""
+    import cv2
+
+    import simhand_tpu.finetune.mano as mano_mod
+    from simhand_tpu.finetune.demo import main as demo_main
+
+    vid = str(tmp_path / "in.mp4")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 10, (160, 120))
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        w.write(rng.integers(0, 255, (120, 160, 3), dtype=np.uint8))
+    w.release()
+
+    monkeypatch.setattr(mano_mod, "ManoModel", lambda path: mano)
+    out = str(tmp_path / "out.mp4")
+    demo_main(["--video", vid, "--backbone", "18", "--max_frames", "2",
+               "--out", out, "--mano", "unused"])
+    cap = cv2.VideoCapture(out)
+    ok, frame = cap.read()
+    cap.release()
+    assert ok and frame.shape == (120, 120, 3)  # demo center-crops square

@@ -112,6 +112,11 @@ def main(argv=None):
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--eval_every", type=int, default=10)
     p.add_argument("--out_dir", default="/tmp/detnet")
+    p.add_argument("--bn_variant", default="exact",
+                   choices=["exact", "stop_grad", "fused", "fused_pallas"],
+                   help="backbone BatchNorm implementation (see "
+                        "simhand_tpu/models/{norm,fused_bn}.py; stop_grad "
+                        "measured +7%% on the detnet step)")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -138,7 +143,13 @@ def main(argv=None):
         train_ds = SyntheticPoseDataset(n=max(args.batch_size * 2, 64))
         val_ds = SyntheticPoseDataset(n=64, seed=1)
 
-    model = DetNet(resnet_size=args.backbone, dtype=jnp.bfloat16)
+    bn_variant = getattr(args, "bn_variant", "exact")
+    model = DetNet(
+        resnet_size=args.backbone, dtype=jnp.bfloat16,
+        bn_stop_gradient_stats=bn_variant == "stop_grad",
+        bn_fused="pallas" if bn_variant == "fused_pallas"
+        else bn_variant == "fused",
+    )
     variables = model.init(jax.random.key(0), jnp.zeros((1, 128, 128, 3)))
     params, batch_stats = variables["params"], variables["batch_stats"]
 

@@ -77,3 +77,29 @@ def test_fault_injected_preemption_checkpoints_and_exits(tmp_path, monkeypatch):
 
     mgr = ocp.CheckpointManager(ckpt_dir)
     assert 2 in mgr.all_steps()
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_simhand_vis_dumps_iteration_npy(tmp_path, monkeypatch):
+    """--vis/--vis_save_dir writes the per-iteration npy of the pair
+    (reference: simhand_vis_model.py:53-64)."""
+    monkeypatch.setenv("BASE_PATH", str(tmp_path / "runs"))
+    import importlib
+
+    import simhand_tpu.constants as constants
+
+    importlib.reload(constants)
+    import simhand_tpu.experiments.main as main_mod
+
+    importlib.reload(main_mod)
+
+    vis_dir = str(tmp_path / "vis")
+    run_main(str(tmp_path), [
+        "-epochs", "1", "--max_steps", "1", "--vis",
+        "--vis_save_dir", vis_dir,
+    ])
+    files = sorted(os.listdir(vis_dir))
+    assert files == ["iter_0000001.npy"]
+    dump = np.load(os.path.join(vis_dir, files[0]), allow_pickle=True).item()
+    assert "transformed_image1" in dump and "transformed_image2" in dump
+    assert dump["transformed_image1"].shape[0] == 8  # batch

@@ -281,3 +281,68 @@ def test_raw_batch_fast_path_matches_per_sample(synthetic_root, tmp_path):
         np.testing.assert_array_equal(fast["image2"][j], slow[j]["image2"])
         np.testing.assert_allclose(fast["joints1"][j], slow[j]["joints1"])
         np.testing.assert_allclose(fast["joints_raw2"][j], slow[j]["joints_raw2"])
+
+
+def _make_freihand_fixture(root, n=6):
+    """Minimal official-layout FreiHAND: training/rgb/%08d.jpg for 4n
+    images (x4 green-screen replication) + training_{K,xyz}.json."""
+    import json as _json
+    import os as _os
+
+    rng = np.random.default_rng(0)
+    _os.makedirs(_os.path.join(root, "training", "rgb"), exist_ok=True)
+    K = np.tile(np.array(
+        [[400.0, 0, 112], [0, 400.0, 112], [0, 0, 1]], np.float64), (n, 1, 1))
+    xyz = rng.uniform(-0.05, 0.05, (n, 21, 3)) + np.array([0, 0, 0.5])
+    with open(_os.path.join(root, "training_K.json"), "w") as f:
+        _json.dump(K.tolist(), f)
+    with open(_os.path.join(root, "training_xyz.json"), "w") as f:
+        _json.dump(xyz.tolist(), f)
+    img = rng.integers(0, 255, (224, 224, 3), dtype=np.uint8)
+    for i in range(4 * n):
+        cv2.imwrite(_os.path.join(root, "training", "rgb", f"{i:08d}.jpg"), img)
+    return K, xyz
+
+
+def test_freihand_pretrain_source(tmp_path):
+    """F_DB semantics: x4 replication sharing labels, freihand->ait
+    remap, real K (reference: src/data_loader/freihand_loader.py)."""
+    from simhand_tpu.core.joints import JointMap
+    from simhand_tpu.data.sources.freihand import FreihandPretrainSource
+
+    n = 6
+    K, xyz = _make_freihand_fixture(str(tmp_path), n)
+    src = FreihandPretrainSource(str(tmp_path), "train", train_ratio=0.99)
+    # train split: floor(0.99 * 6) = 5 unique, x4 replication
+    assert len(src) == 5 * 4
+    s0 = src[0]
+    assert s0["image"].shape == (224, 224, 3)
+    np.testing.assert_allclose(s0["K"], K[0], atol=1e-5)
+    jm = JointMap()
+    np.testing.assert_allclose(
+        s0["joints3D"], jm.freihand_to_ait(xyz[0].astype(np.float32)),
+        atol=1e-6,
+    )
+    # replicas share the original's labels
+    s_rep = src[5]  # first sample of the second replication block
+    np.testing.assert_allclose(s_rep["joints3D"], s0["joints3D"], atol=1e-6)
+    assert s_rep["image_name"] != s0["image_name"]
+
+    val = FreihandPretrainSource(str(tmp_path), "val", train_ratio=0.99)
+    assert len(val) == 1 * 4  # the held-out unique sample, x4
+
+
+def test_downstream_eval_cli(tmp_path, capsys):
+    """experiments.downstream runs EPE/AUC eval end to end on the
+    synthetic FreiHAND corpus (untrained weights — values arbitrary but
+    finite)."""
+    from simhand_tpu.experiments.downstream import main as ds_main
+
+    _make_freihand_fixture(str(tmp_path), 6)
+    metrics = ds_main([
+        "--data_dir", str(tmp_path), "--resnet_size", "18",
+        "--batch_size", "4", "--max_batches", "1",
+    ])
+    assert metrics is not None
+    vals = {k: float(v) for k, v in dict(metrics).items()}
+    assert all(np.isfinite(v) for v in vals.values())

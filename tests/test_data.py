@@ -346,3 +346,44 @@ def test_downstream_eval_cli(tmp_path, capsys):
     assert metrics is not None
     vals = {k: float(v) for k, v in dict(metrics).items()}
     assert all(np.isfinite(v) for v in vals.values())
+
+
+def test_youtube_source(tmp_path):
+    """YTB_DB semantics: MANO-mesh vertices -> 16 regressed joints + 5
+    fingertip vertices, mano->ait reorder
+    (reference: src/data_loader/youtube_loader.py + utils.py:372-390)."""
+    import json as _json
+
+    from simhand_tpu.core.joints import JointMap
+    from simhand_tpu.data.sources.youtube import YoutubeSource
+    from simhand_tpu.finetune.mano import TIP_VERTEX_IDS
+
+    rng = np.random.default_rng(1)
+    verts = rng.uniform(-0.1, 0.1, (778, 3)).astype(np.float64)
+    data = {
+        "images": [{"id": 7, "name": "frames/f0.jpg"}],
+        "annotations": [{"id": 0, "image_id": 7, "vertices": verts.tolist()}],
+    }
+    (tmp_path / "frames").mkdir()
+    cv2.imwrite(str(tmp_path / "frames" / "f0.jpg"),
+                rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    with open(tmp_path / "youtube_train.json", "w") as f:
+        _json.dump(data, f)
+
+    reg = rng.uniform(0, 1, (16, 778)).astype(np.float32)
+    reg /= reg.sum(1, keepdims=True)
+    src = YoutubeSource(str(tmp_path), "train", mano_regressor=reg)
+    assert len(src) == 1
+    s = src[0]
+    assert s["image"].shape == (64, 64, 3)
+    jm = JointMap()
+    want_mano = np.concatenate(
+        [reg @ verts.astype(np.float32), verts[list(TIP_VERTEX_IDS)]], axis=0
+    )
+    np.testing.assert_allclose(
+        s["joints3D"], jm.mano_to_ait(want_mano), atol=1e-5)
+    np.testing.assert_array_equal(s["K"], np.eye(3))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        YoutubeSource(str(tmp_path), "train")

@@ -87,6 +87,11 @@ class JointMap:
         self.ait_to_interhand_idx = remap_index("ait", "interhand")
         self.mano_to_ait_idx = remap_index("mano", "ait")
         self.ait_to_mano_idx = remap_index("ait", "mano")
+        # fine-tune stack canonical order is freihand/snap
+        # (minimal-hand convention, datasets/__init__.py:88-110)
+        self.mano_to_freihand_idx = remap_index("mano", "freihand")
+        self.freihand_to_mano_idx = remap_index("freihand", "mano")
+        self.interhand_to_freihand_idx = remap_index("interhand", "freihand")
 
     def freihand_to_ait(self, joints):
         return joints[..., self.freihand_to_ait_idx, :]
@@ -102,6 +107,15 @@ class JointMap:
 
     def ait_to_mano(self, joints):
         return joints[..., self.ait_to_mano_idx, :]
+
+    def mano_to_freihand(self, joints):
+        return joints[..., self.mano_to_freihand_idx, :]
+
+    def freihand_to_mano(self, joints):
+        return joints[..., self.freihand_to_mano_idx, :]
+
+    def interhand_to_freihand(self, joints):
+        return joints[..., self.interhand_to_freihand_idx, :]
 
 
 # AssemblyHands -> MANO remap (reference: src/data_loader/utils.py:459-487).

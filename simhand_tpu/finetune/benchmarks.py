@@ -3,7 +3,12 @@
 All readers emit the DetnetSampleBuilder sample schema:
   {"image": HxWx3 uint8 RGB, "K": 3x3 | None, "joint": (21,3) | None,
    "kp2d": (21,2)}
-joints in AIT order. Every reader is gated on its official on-disk layout
+joints in freihand/snap order — wrist, then thumb..pinky each
+mcp/pip/dip/tip — the order every fine-tune consumer assumes
+(maps.py SNAP_PARENT/JOINT_ROOT_IDX/REF_BONE_LINK, aik.py, align
+root/bone indices; reference: minimal-hand/datasets/__init__.py:88-110).
+tests/test_finetune_data.py cross-checks every reader against this
+schema on a synthetic hand. Every reader is gated on its official on-disk layout
 (nothing is vendored); tests use the synthetic stand-ins.
 
 Coverage vs the reference's minimal-hand/datasets/:
@@ -145,9 +150,9 @@ class DexYCB:
         labels = np.load(os.path.join(cam_dir, f"labels_{fr:06d}.npz"))
         joint = labels["joint_3d"].reshape(21, 3).astype(np.float32)
         kp2d = labels["joint_2d"].reshape(21, 2).astype(np.float32)
-        # DexYCB uses the freihand/MANO-style order; remap to AIT
-        joint = _JM.freihand_to_ait(joint)
-        kp2d = kp2d[_JM.freihand_to_ait_idx]
+        # DexYCB labels are already wrist-first freihand order
+        # (dex-ycb-toolkit MANO joint list; the reference reader keeps it,
+        # minimal-hand/datasets/dexycb.py:436) — emit as-is.
         return {
             "image": img,
             "K": self._intrinsics(serial),
@@ -246,7 +251,6 @@ class AssemblyHands:
     def __getitem__(self, i: int) -> dict:
         import cv2
 
-        from simhand_tpu.core.joints import ah_to_mano
         from simhand_tpu.data.crops import crop_and_resize_via_joints
 
         ann, hand = self.samples[i]
@@ -275,8 +279,11 @@ class AssemblyHands:
             K[0, 2] = img.shape[1] - K[0, 2]
             joint_ah = joint_ah * np.array([-1.0, 1.0, 1.0], np.float32)
 
-        joint = _JM.mano_to_ait(ah_to_mano(joint_ah))
-        kp2d = _JM.mano_to_ait(ah_to_mano(kp2d))
+        # AH annotates tips-first per finger with the wrist last (the
+        # interhand layout); the reference gathers straight to snap order
+        # (minimal-hand/datasets/assembly_hands.py:475-478).
+        joint = _JM.interhand_to_freihand(joint_ah)
+        kp2d = _JM.interhand_to_freihand(kp2d)
         if self.crop and kp2d.any():
             img, kp2d, K = crop_and_resize_via_joints(
                 img, kp2d, self.CROP_SIZE, self.CROP_SCALE, K
@@ -300,7 +307,13 @@ class AssemblyHandsExo(AssemblyHands):
 
 class Ego4DHands2D:
     """Hand100M crops as a 2D-only fine-tune set (flag_3d=0 — only the
-    heatmap loss applies; reference: minimal-hand/datasets/ego4d_hands.py)."""
+    heatmap loss applies; reference: minimal-hand/datasets/ego4d_hands.py).
+
+    Hand100M annotations are ait order; remapped to the freihand schema
+    here. (Deliberate deviation: the reference reader leaves them in ait
+    order — ego4d_hands.py:142-165 never applies its 'transform the index'
+    step — which silently trains heatmap channels against a different
+    joint assignment than every other subset.)"""
 
     def __init__(self, root_dir: str, source: str = "ego4d", scale: str = "1m"):
         from simhand_tpu.data.sources.hand100m import Hand100MSource
@@ -312,11 +325,12 @@ class Ego4DHands2D:
 
     def __getitem__(self, i: int) -> dict:
         s = self.src[i]
+        kp2d = s["joints3D"][:, :2].astype(np.float32)
         return {
             "image": s["image"],
             "K": None,
             "joint": None,                       # no 3D labels
-            "kp2d": s["joints3D"][:, :2].astype(np.float32),
+            "kp2d": kp2d[_JM.ait_to_freihand_idx],
         }
 
 
@@ -395,7 +409,7 @@ class STB:
         import cv2
 
         img = cv2.cvtColor(cv2.imread(self.img_paths[i]), cv2.COLOR_BGR2RGB)
-        joint = _JM.freihand_to_ait(self.joints_snap[i])    # snap == freihand order
+        joint = self.joints_snap[i]                 # snap == freihand order
         kp = (STB_SK_INTR @ joint.T).T
         kp2d = (kp[:, :2] / kp[:, 2:]).astype(np.float32)
         return {"image": img, "K": STB_SK_INTR, "joint": joint, "kp2d": kp2d}
@@ -430,8 +444,9 @@ class CMUHandLabels:
         img = cv2.cvtColor(
             cv2.imread(os.path.join(self.dir, name + ".jpg")), cv2.COLOR_BGR2RGB
         )
+        # CMU hand_pts are OpenPose order = wrist-first freihand order
         pts = np.asarray(a["hand_pts"], np.float32)         # (21, 3) x,y,vis
-        kp2d = pts[_JM.freihand_to_ait_idx, :2]
+        kp2d = pts[:, :2]
         return {"image": img, "K": None, "joint": None, "kp2d": kp2d}
 
 
@@ -454,8 +469,7 @@ class CMUPanoptic143:
         img = cv2.cvtColor(
             cv2.imread(os.path.join(self.root, a["img_paths"])), cv2.COLOR_BGR2RGB
         )
-        pts = np.asarray(a["joint_self"], np.float32)[:, :2]
-        kp2d = pts[_JM.freihand_to_ait_idx]
+        kp2d = np.asarray(a["joint_self"], np.float32)[:, :2]
         return {"image": img, "K": None, "joint": None, "kp2d": kp2d}
 
 
@@ -485,12 +499,13 @@ class GANeratedHands:
         return {
             "image": img,
             "K": None,
-            "joint": _JM.freihand_to_ait(joint.astype(np.float32)),
-            "kp2d": kp2d[_JM.freihand_to_ait_idx].astype(np.float32),
+            "joint": joint.astype(np.float32),   # native freihand order
+            "kp2d": kp2d.astype(np.float32),
         }
 
 
-FINGERTIP_AIT_IDS = [16, 17, 18, 19, 20]  # thumb..pinky tips
+# thumb..pinky tips in freihand order (reference: utils/align.py:31)
+FINGERTIP_IDS = [4, 8, 12, 16, 20]
 
 
 class DexterObject:
@@ -527,7 +542,7 @@ class DexterObject:
         path, tips = self.samples[i]
         img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
         kp2d = np.zeros((21, 2), np.float32)
-        kp2d[FINGERTIP_AIT_IDS] = tips
+        kp2d[FINGERTIP_IDS] = tips
         return {"image": img, "K": None, "joint": None, "kp2d": kp2d,
                 "tip_only": True}
 
@@ -569,6 +584,6 @@ class EgoDexter:
         path, tips = self.samples[i]
         img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
         kp2d = np.zeros((21, 2), np.float32)
-        kp2d[FINGERTIP_AIT_IDS] = tips
+        kp2d[FINGERTIP_IDS] = tips
         return {"image": img, "K": None, "joint": None, "kp2d": kp2d,
                 "tip_only": True}

@@ -22,19 +22,19 @@ _JM = JointMap()
 
 def reconstruct(
     mano: ManoModel,
-    joints_ait: np.ndarray,
+    joints_fh: np.ndarray,
     beta: np.ndarray | None = None,
     rel_bones: np.ndarray | None = None,
 ):
-    """One hand: predicted AIT-order joints -> (verts, joints) via AIK+MANO.
+    """One hand: predicted joints -> (verts, joints) via AIK+MANO.
 
     Args:
-      joints_ait: (21, 3) predicted joints, AIT order (detnet output after
-        remap), root-relative/scale-normalized or metric — AIK is
+      joints_fh: (21, 3) predicted joints, freihand/snap order (detnet
+        output order), root-relative/scale-normalized or metric — AIK is
         scale-equivariant through the template normalization.
       beta: optional precomputed MANO shape; fitted via PSO if absent.
     """
-    joints_mano = _JM.ait_to_mano(joints_ait)
+    joints_mano = _JM.freihand_to_mano(joints_fh)
 
     if beta is None:
         if rel_bones is None:
@@ -62,24 +62,24 @@ def reconstruct(
     return np.asarray(verts[0]), np.asarray(joints21[0]), pose_R, beta
 
 
-def recon_epe(mano: ManoModel, predictions_ait: np.ndarray) -> dict:
+def recon_epe(mano: ManoModel, predictions_fh: np.ndarray) -> dict:
     """Reconstruction EPE over a batch of predictions (aik_pose.py)."""
     evaluator = EvalUtil()
-    for joints in predictions_ait:
+    for joints in predictions_fh:
         _, rec, _, _ = reconstruct(mano, joints)
-        rec_ait = _JM.mano_to_ait(rec)
+        rec_fh = _JM.mano_to_freihand(rec)
         # compare in the prediction's normalized frame
         ref_pred = np.linalg.norm(
-            _JM.ait_to_mano(joints)[4] - _JM.ait_to_mano(joints)[0]
+            _JM.freihand_to_mano(joints)[4] - _JM.freihand_to_mano(joints)[0]
         ) + 1e-9
-        target = _JM.mano_to_ait(
-            (_JM.ait_to_mano(joints) - _JM.ait_to_mano(joints)[0])
+        target = _JM.mano_to_freihand(
+            (_JM.freihand_to_mano(joints) - _JM.freihand_to_mano(joints)[0])
         ) / ref_pred
-        rec_norm = _JM.mano_to_ait(
-            (_JM.ait_to_mano(rec_ait) - _JM.ait_to_mano(rec_ait)[0])
+        rec_norm = _JM.mano_to_freihand(
+            (_JM.freihand_to_mano(rec_fh) - _JM.freihand_to_mano(rec_fh)[0])
         )
         ref_rec = np.linalg.norm(
-            _JM.ait_to_mano(rec_ait)[4] - _JM.ait_to_mano(rec_ait)[0]
+            _JM.freihand_to_mano(rec_fh)[4] - _JM.freihand_to_mano(rec_fh)[0]
         ) + 1e-9
         evaluator.feed(target, rec_norm / ref_rec)
     epe_mean, _, epe_median, auc, _, _ = evaluator.get_measures(0.0, 0.05, 20)
@@ -95,7 +95,7 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--mano", required=True)
     p.add_argument("--predictions", default=None,
-                   help="npy of (N, 21, 3) AIT-order joints; random if absent")
+                   help="npy of (N, 21, 3) freihand-order joints; random if absent")
     p.add_argument("--n", type=int, default=8)
     args = p.parse_args(argv)
 
@@ -105,7 +105,7 @@ def main(argv=None):
     else:
         beta = jnp.zeros((1, 10))
         _, base = mano(jnp.broadcast_to(jnp.eye(3), (1, 16, 3, 3)), beta)
-        base = _JM.mano_to_ait(np.asarray(base[0]))
+        base = _JM.mano_to_freihand(np.asarray(base[0]))
         rng = np.random.default_rng(0)
         preds = base[None] + rng.normal(scale=0.002, size=(args.n, 21, 3))
     print(recon_epe(mano, preds))

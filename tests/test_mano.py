@@ -171,9 +171,9 @@ def test_reconstruct_joints_close_to_prediction(mano):
         jnp.asarray(R, jnp.float32)
     )
     _, target21 = mano(pose, beta)
-    target_ait = jm.mano_to_ait(np.asarray(target21[0]))
+    target_fh = jm.mano_to_freihand(np.asarray(target21[0]))
 
-    _, rec21, _, _ = reconstruct(mano, target_ait, beta=np.zeros(10))
+    _, rec21, _, _ = reconstruct(mano, target_fh, beta=np.zeros(10))
     # compare bone-normalized shapes
     t = np.asarray(target21[0]); r = rec21
     t = (t - t[0]) / (np.linalg.norm(t[4] - t[0]) + 1e-9)

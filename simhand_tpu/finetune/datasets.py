@@ -131,6 +131,83 @@ class SyntheticPoseDataset:
 
 
 # --------------------------------------------------------------------------
+# multi-dataset composition
+# --------------------------------------------------------------------------
+
+class ConcatDataset:
+    """Concatenation with cumulative index routing — the reference's
+    HandDataset hub semantics (minimal-hand/datasets/handataset.py:240-242,
+    511-521): sample i belongs to the first dataset whose cumulative length
+    exceeds i."""
+
+    def __init__(self, datasets):
+        assert datasets, "need at least one dataset"
+        self.datasets = list(datasets)
+        for i, d in enumerate(self.datasets):
+            if len(d) == 0:
+                raise ValueError(
+                    f"dataset #{i} ({type(d).__name__}) is empty — check "
+                    "its root/split (a tiny freihand root with the default "
+                    "train_ratio can leave the train split empty)"
+                )
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    def __getitem__(self, i: int) -> dict:
+        if i < 0 or i >= len(self):
+            raise IndexError(i)
+        d = int(np.searchsorted(self._offsets, i, side="right") - 1)
+        return self.datasets[d][i - int(self._offsets[d])]
+
+
+class WeightedMixDataset:
+    """Weighted sampling mix: a virtual epoch of ``epoch_size`` samples,
+    sample i drawn from dataset d with probability ``weights[d]`` (then
+    uniformly within d), deterministically from ``(seed, i)`` so the mix
+    is reproducible and shardable.
+
+    The reference approximates dataset balancing by subsampling at
+    construction (handataset.py ``subset_ratio``); per-sample weighted
+    routing subsumes that without discarding data.
+    """
+
+    def __init__(self, datasets, weights=None, epoch_size: int | None = None,
+                 seed: int = 0):
+        assert datasets, "need at least one dataset"
+        self.datasets = list(datasets)
+        for i, d in enumerate(self.datasets):
+            if len(d) == 0:
+                raise ValueError(
+                    f"dataset #{i} ({type(d).__name__}) is empty — check "
+                    "its root/split"
+                )
+        if weights is None:
+            weights = [float(len(d)) for d in self.datasets]
+        assert len(weights) == len(self.datasets)
+        w = np.asarray(weights, np.float64)
+        assert (w >= 0).all() and w.sum() > 0, weights
+        self.weights = w / w.sum()
+        self.epoch_size = (
+            int(epoch_size) if epoch_size is not None
+            else sum(len(d) for d in self.datasets)
+        )
+        self.seed = seed
+
+    def __len__(self):
+        return self.epoch_size
+
+    def __getitem__(self, i: int) -> dict:
+        if i < 0 or i >= len(self):
+            raise IndexError(i)
+        rng = np.random.default_rng([self.seed, i])
+        d = int(rng.choice(len(self.datasets), p=self.weights))
+        ds = self.datasets[d]
+        return ds[int(rng.integers(len(ds)))]
+
+
+# --------------------------------------------------------------------------
 # sample builder
 # --------------------------------------------------------------------------
 
@@ -223,7 +300,11 @@ def detnet_batch_iterator(dataset, builder: DetnetSampleBuilder, batch_size: int
             samples.append(builder(dataset[int(i)], rng))
         keys = [k for k in samples[0] if k not in ("joint", "joint_root", "joint_bone")]
         batch = {k: np.stack([s[k] for s in samples]) for k in keys}
-        if "joint" in samples[0]:
+        # metric joints ride along only when the whole batch has them
+        # (mixed 2D/3D batches from composed datasets train fine — the
+        # loss gates 3D terms per-sample via flag_3d — but can't carry a
+        # ragged "joint" array)
+        if all("joint" in s for s in samples):
             for k in ("joint", "joint_root", "joint_bone"):
                 batch[k] = np.stack([s[k] for s in samples])
         yield batch

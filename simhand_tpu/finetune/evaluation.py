@@ -155,6 +155,51 @@ def align_by_root_and_scale(
     return pred * scale + gt[:, root_idx : root_idx + 1]
 
 
+def global_align(gtj: np.ndarray, prj: np.ndarray, key: str):
+    """The reference's eval-time global alignment (utils/align.py:4-57).
+
+    3D sets (stb/rhd/ah-ego/ah-exo/fh/dy and aliases): shift the prediction
+    to the gt wrist (root 0) and rescale by the wrist->middle_mcp reference
+    bone (0, 9). Returns (gt (B,21,3), pred_aligned (B,21,3)).
+
+    Tip-only sets (do/eo): the prediction's 5 fingertips [4,8,12,16,20] are
+    aligned to the valid (non-NaN) gt tips by matching their centroids and
+    mean center-distance scale; samples with <2 valid tips are dropped.
+    Returns ragged lists (gt_valid, pred_valid_aligned) flattened to
+    (sum_m, 3) arrays plus a per-sample count, matching the reference's
+    masked semantics.
+    """
+    gtj = np.asarray(gtj, np.float64)
+    prj = np.asarray(prj, np.float64)
+    if key in ("do", "eo", "dexter_object", "egodexter"):
+        tips = prj[:, [4, 8, 12, 16, 20], :]
+        gt_out, pred_out, counts = [], [], []
+        for i in range(tips.shape[0]):
+            mask = ~np.isnan(gtj[i][:, 0])
+            if mask.sum() < 2:
+                continue
+            p, g = tips[i][mask], gtj[i][mask]
+            gc, pc = g.mean(0), p.mean(0)
+            scale = (
+                np.linalg.norm(g - gc, axis=1).mean()
+                / max(np.linalg.norm(p - pc, axis=1).mean(), 1e-12)
+            )
+            gt_out.append(g)
+            pred_out.append(gc + scale * (p - pc))
+            counts.append(int(mask.sum()))
+        if not gt_out:
+            return (np.zeros((0, 3)), np.zeros((0, 3)), [])
+        return np.concatenate(gt_out), np.concatenate(pred_out), counts
+
+    # 21-joint 3D sets: root 0, ref bone (0, 9) — align.py:12-25
+    root, (a, b) = 0, (0, 9)
+    pred_len = np.linalg.norm(prj[:, a] - prj[:, b], axis=-1, keepdims=True)
+    gt_len = np.linalg.norm(gtj[:, a] - gtj[:, b], axis=-1, keepdims=True)
+    scale = (gt_len / np.maximum(pred_len, 1e-12))[:, :, None]
+    aligned = gtj[:, root : root + 1] + scale * (prj - prj[:, root : root + 1])
+    return gtj, aligned
+
+
 class AverageMeter:
     """Running mean meter (reference: utils/eval/evalutils.py:10-26)."""
 

@@ -61,3 +61,66 @@ def get_dataset(name: str, root_dir: str, split: str = "train", **kw) -> Any:
 
         return SyntheticPoseDataset(**kw)
     raise KeyError(f"unknown dataset {name!r}")
+
+
+DATASET_KEYS = (
+    "freihand", "fh", "dexycb", "dy", "assemblyhands", "ah", "ah-ego",
+    "ah-exo", "stb", "rhd", "cmu", "hand_labels", "hand143", "panoptic",
+    "ganerated", "gan", "dexter_object", "do", "egodexter", "eo",
+    "ego4d_hands", "ego4d", "synthetic",
+)
+
+# keys whose constructor takes no split argument
+_NO_SPLIT = {"hand143", "panoptic", "ganerated", "gan", "dexter_object",
+             "do", "egodexter", "eo", "ego4d_hands", "ego4d", "synthetic"}
+
+
+def build_composed_dataset(
+    names: str | list[str],
+    roots: str | list[str],
+    split: str = "train",
+    setup: str = "s1",
+    weights: list[float] | None = None,
+    epoch_size: int | None = None,
+    seed: int = 0,
+    synthetic_n: int = 64,
+):
+    """Builds the (possibly multi-set) fine-tune dataset the reference's
+    HandDataset hub assembles from ``subset_name=[...]``
+    (minimal-hand/datasets/handataset.py:36-242).
+
+    ``names``: one registry key or a comma-separated/explicit list.
+    ``roots``: one root used for every set, or a list matching ``names``.
+    No ``weights`` -> plain concatenation (reference index-routing
+    semantics); ``weights`` -> deterministic per-sample weighted mix.
+    """
+    from simhand_tpu.finetune.datasets import ConcatDataset, WeightedMixDataset
+
+    if isinstance(names, str):
+        names = [n.strip() for n in names.split(",") if n.strip()]
+    if isinstance(roots, str):
+        roots = [r.strip() or None for r in roots.split(",")]
+    elif roots is None:
+        roots = [None]
+    if len(roots) == 1 and len(names) > 1:
+        roots = list(roots) * len(names)
+    assert len(roots) == len(names), (names, roots)
+
+    sets = []
+    for name, root in zip(names, roots):
+        kw: dict = {}
+        key = name.lower()
+        if key in ("dexycb", "dy"):
+            kw["setup"] = setup
+        if key == "synthetic":
+            kw["n"] = synthetic_n
+            kw["seed"] = 0 if split == "train" else 1
+        if key in _NO_SPLIT:
+            sets.append(get_dataset(key, root, **kw))
+        else:
+            sets.append(get_dataset(key, root, split, **kw))
+    if len(sets) == 1 and weights is None:
+        return sets[0]
+    if weights is None:
+        return ConcatDataset(sets)
+    return WeightedMixDataset(sets, weights, epoch_size=epoch_size, seed=seed)

@@ -99,8 +99,25 @@ def evaluate_detnet(model, state, dataset, builder, batch_size=64):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataset", default="synthetic",
-                   choices=["freihand", "synthetic"])
-    p.add_argument("--data_dir", default=None)
+                   help="comma-separated registry keys (finetune/registry.py:"
+                        " freihand,dexycb,ah-ego,ah-exo,stb,rhd,cmu,hand143,"
+                        "ganerated,do,eo,ego4d,synthetic). Multiple keys "
+                        "compose like the reference HandDataset hub "
+                        "(subset_name=[...], handataset.py:36-242)")
+    p.add_argument("--data_dir", default=None,
+                   help="one root for all sets, or comma-list matching "
+                        "--dataset")
+    p.add_argument("--sample_weights", default=None,
+                   help="comma floats matching --dataset: per-set sampling "
+                        "weights (deterministic weighted mix instead of "
+                        "concatenation)")
+    p.add_argument("--epoch_size", type=int, default=None,
+                   help="virtual epoch size for the weighted mix")
+    p.add_argument("--setup", default="s1", choices=["s1", "s2"],
+                   help="DexYCB split setup (unseen subjects/cameras)")
+    p.add_argument("--val_dataset", default=None,
+                   help="registry key for eval (default: first --dataset)")
+    p.add_argument("--val_data_dir", default=None)
     p.add_argument("--backbone", default="50", choices=["50", "152"])
     p.add_argument("--pretrain", default=None,
                    help="torch .pth encoder init (SiMHand or torchvision)")
@@ -127,21 +144,43 @@ def main(argv=None):
 
     from simhand_tpu.finetune.datasets import (
         DetnetSampleBuilder,
-        FreiHand,
-        SyntheticPoseDataset,
         detnet_batch_iterator,
     )
     from simhand_tpu.finetune.detnet import DetNet
+    from simhand_tpu.finetune.registry import build_composed_dataset
     from simhand_tpu.parallel import create_mesh
     from simhand_tpu.parallel.mesh import replicate, shard_batch
     from simhand_tpu.train.state import TrainState
 
-    if args.dataset == "freihand":
-        train_ds = FreiHand(args.data_dir, "train")
-        val_ds = FreiHand(args.data_dir, "val")
+    weights = (
+        [float(w) for w in args.sample_weights.split(",")]
+        if args.sample_weights else None
+    )
+    train_ds = build_composed_dataset(
+        args.dataset, args.data_dir, "train", setup=args.setup,
+        weights=weights, epoch_size=args.epoch_size,
+        synthetic_n=max(args.batch_size * 2, 64),
+    )
+    # val root resolution: explicit --val_data_dir wins; otherwise reuse
+    # the train root matching the chosen val dataset (by position in the
+    # --dataset list), not the whole comma-list
+    train_names = [n.strip() for n in args.dataset.split(",") if n.strip()]
+    train_roots = (
+        [r.strip() or None for r in args.data_dir.split(",")]
+        if args.data_dir else [None]
+    )
+    if len(train_roots) == 1:
+        train_roots = train_roots * len(train_names)
+    val_name = args.val_dataset or train_names[0]
+    if args.val_data_dir:
+        val_root = args.val_data_dir
+    elif val_name in train_names:
+        val_root = train_roots[train_names.index(val_name)]
     else:
-        train_ds = SyntheticPoseDataset(n=max(args.batch_size * 2, 64))
-        val_ds = SyntheticPoseDataset(n=64, seed=1)
+        val_root = None
+    val_ds = build_composed_dataset(
+        val_name, val_root, "val", setup=args.setup, synthetic_n=64,
+    )
 
     bn_variant = getattr(args, "bn_variant", "exact")
     model = DetNet(

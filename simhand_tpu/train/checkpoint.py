@@ -49,6 +49,16 @@ class CheckpointManager:
             return None
         return self._mgr.restore(step, args=ocp.args.StandardRestore(state_template))
 
+    def restore_tree(self, step: int | None = None):
+        """Template-free restore: the saved pytree as nested dicts of
+        numpy arrays. Lets eval-time consumers pick ``params`` /
+        ``batch_stats`` without reconstructing the training optimizer
+        state structure."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            return None
+        return self._mgr.restore(step)
+
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
 

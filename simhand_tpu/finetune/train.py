@@ -51,6 +51,9 @@ def make_detnet_train_step(model, mesh=None, axis_name="data"):
         if axis is not None:
             grads = jax.lax.pmean(grads, axis)
             parts = jax.tree.map(lambda x: jax.lax.pmean(x, axis), parts)
+            # deliberate replicated-BN semantics: persist the cross-replica
+            # average of the running statistics (see train/loop.py)
+            stats = jax.tree.map(lambda s: jax.lax.pmean(s, axis), stats)
         state = state.apply_gradients(grads=grads).replace(batch_stats=stats)
         return state, parts
 
@@ -68,11 +71,17 @@ def make_detnet_train_step(model, mesh=None, axis_name="data"):
 
 
 def evaluate_detnet(model, state, dataset, builder, batch_size=64):
-    """Root-relative scale-normalized 3D EPE/AUC over a dataset."""
+    """Root-relative scale-normalized 3D EPE/AUC + heatmap-space PCK
+    (the reference's train-time accuracy meter,
+    minimal-hand/utils/eval/evalutils.py:54-76) over a dataset."""
     import jax
 
     from simhand_tpu.finetune.datasets import detnet_batch_iterator
-    from simhand_tpu.finetune.evaluation import EvalUtil
+    from simhand_tpu.finetune.evaluation import (
+        AverageMeter,
+        EvalUtil,
+        heatmap_pck,
+    )
 
     apply = jax.jit(
         lambda params, stats, img: model.apply(
@@ -80,20 +89,32 @@ def evaluate_detnet(model, state, dataset, builder, batch_size=64):
         )
     )
     evaluator = EvalUtil()
+    hm_acc = AverageMeter()
     for batch in detnet_batch_iterator(
         dataset, builder, batch_size, shuffle=False
     ):
+        preds = apply(state.params, state.batch_stats, batch["img"])
+        hm_acc.update(
+            heatmap_pck(np.asarray(preds["h_map"], np.float32),
+                        batch["hm"], batch["hm_veil"]),
+            n=batch["hm"].shape[0],
+        )
         if "joint" not in batch:
             continue
-        preds = apply(state.params, state.batch_stats, batch["img"])
         xyz = np.asarray(preds["xyz"])  # root-relative, bone-normalized
         gt = batch["joint"]
         root = batch["joint_root"][:, None]
         bone = batch["joint_bone"].reshape(-1, 1, 1)
         gt_norm = (gt - root) / bone
         evaluator.feed(gt_norm.reshape(-1, 21, 3), xyz.reshape(-1, 21, 3))
-    epe_mean, _, epe_median, auc, _, _ = evaluator.get_measures(0.0, 0.05, 20)
-    return {"epe_mean": epe_mean, "epe_median": epe_median, "auc": auc}
+    out = {"hm_pck": hm_acc.avg}
+    if evaluator._dists:
+        epe_mean, _, epe_median, auc, _, _ = evaluator.get_measures(
+            0.0, 0.05, 20
+        )
+        out.update({"epe_mean": epe_mean, "epe_median": epe_median,
+                    "auc": auc})
+    return out
 
 
 def main(argv=None):

@@ -75,9 +75,12 @@ class ContrastiveConfig:
     non_linear_lambda_pos: float = 5.0
     non_linear_lambda_neg: float = 0.05
     # Use the pallas fused custom-VJP kernels (losses/pallas_ntxent.py)
-    # instead of the XLA path. Single-device path; requires 2B divisible
-    # by the kernel tiles. Covers plain NT-Xent and the linear/mpjpe
-    # pos_neg weighted loss (the flagship simhand_w config).
+    # instead of the XLA path — both single-device (2B % 512 == 0) and the
+    # sharded mesh step (2B_local % 256 == 0: local rows stream against
+    # the all-gathered global column set). Covers plain NT-Xent and the
+    # linear/mpjpe pos_neg weighted loss (the flagship simhand_w config);
+    # other weighted configs fall through to XLA. Parity on the 8-device
+    # mesh: tests/test_pallas_ntxent.py::test_sharded_use_pallas_*.
     use_pallas: bool = False
 
     def __post_init__(self):

@@ -80,6 +80,16 @@ def _step_fn(
     )(state.params)
     if axis_name is not None:
         grads = jax.lax.pmean(grads, axis_name)
+        # Per-replica BN leaves each device with different running stats;
+        # the returned state is declared replicated (out_specs=P()), so
+        # make the persisted value deliberate: the cross-replica average
+        # (equivalent to torch DDP's behavior in expectation; a no-op
+        # when bn_axis_name already syncs the batch statistics).
+        # Verified against a per-shard serial oracle in
+        # tests/test_train.py::test_mesh_batch_stats_are_replica_mean.
+        new_batch_stats = jax.tree.map(
+            lambda s: jax.lax.pmean(s, axis_name), new_batch_stats
+        )
     new_state = state.apply_gradients(grads=grads)
     new_state = new_state.replace(batch_stats=new_batch_stats)
     metrics = {"contrastive_loss": loss}

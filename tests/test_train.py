@@ -238,3 +238,45 @@ def test_projection_stats_metrics_logged_for_equivariant():
         float(s["proj1y_median"]),
         np.median(pts[:4, :, 1], axis=1).mean(), rtol=1e-5,
     )
+
+
+def test_mesh_batch_stats_are_replica_mean():
+    """Per-replica BN stats diverge across shards; the mesh step persists
+    their cross-replica AVERAGE (deliberate torch-DDP-like semantics, not
+    an accidental replica pick). Oracle: run each shard through
+    model.apply serially from the same initial state and tree-average the
+    mutated batch_stats."""
+    model = ContrastiveModel(resnet_size="18")
+    state = make_state(model)
+    cfg = ContrastiveConfig(
+        experiment_type="simclr", augmentation=("crop", "rotate", "resize"),
+        image_side=32.0,
+    )
+    mesh = create_mesh()
+    n = mesh.devices.size
+    step = make_train_step(model, cfg, mesh=mesh)
+    rng = np.random.default_rng(3)
+    batch = synthetic_batch(rng, B=2 * n)
+
+    # serial oracle: per-shard mutated stats, then average
+    per_shard = []
+    for d in range(n):
+        sl = slice(2 * d, 2 * (d + 1))
+        images = jnp.concatenate(
+            [batch["transformed_image1"][sl], batch["transformed_image2"][sl]]
+        )
+        _, mutated = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, train=True, mutable=["batch_stats"],
+        )
+        per_shard.append(mutated["batch_stats"])
+    want = jax.tree.map(lambda *s: jnp.mean(jnp.stack(s), 0), *per_shard)
+
+    new_state, _ = step(state, batch)
+    got = jax.device_get(new_state.batch_stats)
+    flat_w, _ = jax.tree_util.tree_flatten(want)
+    flat_g, _ = jax.tree_util.tree_flatten(got)
+    assert len(flat_w) == len(flat_g) > 0
+    for w, g in zip(flat_w, flat_g):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-3, atol=2e-4)

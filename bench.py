@@ -60,7 +60,10 @@ def main():
     bn_subsample = int(os.environ.get("BENCH_BN_SUBSAMPLE", "1"))
     bn_sg = os.environ.get("BENCH_BN_SG", "0") == "1"
     bn_fused_env = os.environ.get("BENCH_BN_FUSED", "0")
-    bn_fused = bn_fused_env if bn_fused_env == "pallas" else bn_fused_env == "1"
+    if bn_fused_env in ("pallas", "epilogue", "epilogue_xla"):
+        bn_fused = bn_fused_env
+    else:
+        bn_fused = bn_fused_env == "1"
     model = ContrastiveModel(
         resnet_size=resnet_size, dtype=jnp.bfloat16, stem=stem,
         bn_subsample=bn_subsample, bn_stop_gradient_stats=bn_sg,

@@ -1,11 +1,14 @@
 """Real-time hand capture demo: camera -> detnet -> One-Euro smoothing ->
 shape fit (ShapeNet or PSO) -> analytic IK -> MANO mesh.
 
-Reference: minimal-hand/demo.py and demo_dl.py. Rendering uses OpenCV
-(skeleton overlay) instead of open3d; gated on camera + MANO availability.
+Reference: minimal-hand/demo.py:69-139 and demo_dl.py. The reference
+renders the MANO mesh in a separate open3d viewport; open3d is not in
+this image, so the mesh is rendered as a cv2 wireframe side panel next
+to the skeleton-annotated frame (same information, stacked output).
 
-  python -m simhand_tpu.finetune.demo --checkpoint detnet.ckpt \
-      --mano mano/models/MANO_RIGHT.pkl [--video input.mp4]
+  python -m simhand_tpu.finetune.demo --video input.mp4 \
+      --pretrain detnet.pth --mano mano/models/MANO_RIGHT.pkl \
+      --out annotated.mp4
 """
 from __future__ import annotations
 
@@ -13,13 +16,10 @@ import argparse
 
 import numpy as np
 
-BONES = [
-    (0, 1), (1, 6), (6, 11), (11, 16),
-    (0, 2), (2, 7), (7, 12), (12, 17),
-    (0, 3), (3, 8), (8, 13), (13, 18),
-    (0, 4), (4, 9), (9, 14), (14, 19),
-    (0, 5), (5, 10), (10, 15), (15, 20),
-]
+from simhand_tpu.finetune.maps import SNAP_PARENT
+
+# freihand/snap-order skeleton (detnet output order)
+BONES = [(i, SNAP_PARENT[i]) for i in range(1, 21)]
 
 
 def draw_skeleton(frame, uv, color=(0, 255, 0)):
@@ -33,10 +33,35 @@ def draw_skeleton(frame, uv, color=(0, 255, 0)):
     return frame
 
 
+def render_mesh_panel(verts: np.ndarray, faces: np.ndarray | None,
+                      size: int) -> np.ndarray:
+    """Orthographic cv2 wireframe of the MANO mesh (the open3d-viewport
+    substitute): xy projection, centered and scaled into a size x size
+    panel. Falls back to a vertex scatter when faces are absent."""
+    import cv2
+
+    panel = np.zeros((size, size, 3), np.uint8)
+    v = np.asarray(verts, np.float64)
+    xy = v[:, :2] - v[:, :2].mean(0)
+    scale = 0.42 * size / max(np.abs(xy).max(), 1e-9)
+    pts = (xy * scale + size / 2.0).astype(np.int32)
+    pts[:, 1] = size - 1 - pts[:, 1]  # y up
+    if faces is not None:
+        polys = pts[np.asarray(faces, np.int32)]          # (F, 3, 2)
+        cv2.polylines(panel, list(polys), True, (180, 180, 180), 1,
+                      cv2.LINE_AA)
+    else:
+        for p in pts:
+            cv2.circle(panel, tuple(p), 1, (180, 180, 180), -1)
+    return panel
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--video", default=None, help="video path (default: webcam 0)")
     p.add_argument("--mano", default=None, help="MANO_RIGHT.pkl path")
+    p.add_argument("--pretrain", default=None,
+                   help="detnet .pth (torch interop) to load")
     p.add_argument("--backbone", default="50")
     p.add_argument("--max_frames", type=int, default=None)
     p.add_argument("--out", default=None, help="write annotated video here")
@@ -51,6 +76,16 @@ def main(argv=None):
 
     model = DetNet(resnet_size=args.backbone)
     variables = model.init(jax.random.key(0), jnp.zeros((1, 128, 128, 3)))
+    if args.pretrain:
+        import torch
+
+        from simhand_tpu.finetune.torch_port_detnet import (
+            torch_state_dict_to_detnet,
+        )
+
+        sd = torch.load(args.pretrain, map_location="cpu", weights_only=True)
+        params, batch_stats = torch_state_dict_to_detnet(sd)
+        variables = {"params": params, "batch_stats": batch_stats}
     apply = jax.jit(lambda img: model.apply(variables, img))
 
     mano = None
@@ -62,6 +97,7 @@ def main(argv=None):
     cap = cv2.VideoCapture(args.video if args.video else 0)
     smoother = OneEuroFilter(mincutoff=1.0, beta=0.0)
     writer = None
+    beta = None
     n = 0
     while cap.isOpened():
         ok, frame = cap.read()
@@ -76,18 +112,22 @@ def main(argv=None):
         xyz = smoother.process(np.asarray(preds["xyz"])[0])
         uv = np.asarray(preds["uv"])[0][:, ::-1] * (side / 32.0)  # (col,row)
 
+        frame_out = draw_skeleton(crop, uv)
         if mano is not None:
             from simhand_tpu.finetune.recon import reconstruct
 
-            _, _, _, _ = reconstruct(mano, xyz)
-
-        frame = draw_skeleton(crop, uv)
+            # beta fitted once on the first frame (reference: demo.py
+            # fits the shape once, then tracks pose per frame)
+            verts, _, _, beta = reconstruct(mano, xyz, beta=beta)
+            panel = render_mesh_panel(verts, mano.faces, side)
+            frame_out = np.concatenate([frame_out, panel], axis=1)
         if args.out:
             if writer is None:
                 writer = cv2.VideoWriter(
-                    args.out, cv2.VideoWriter_fourcc(*"mp4v"), 30, (side, side)
+                    args.out, cv2.VideoWriter_fourcc(*"mp4v"), 30,
+                    (frame_out.shape[1], frame_out.shape[0]),
                 )
-            writer.write(frame)
+            writer.write(frame_out)
     cap.release()
     if writer is not None:
         writer.release()

@@ -73,6 +73,11 @@ class ManoModel:
         kt = np.asarray(d["kintree_table"])
         self.parents = kt[0].astype(np.int32)                            # (16,)
         self.parents[0] = 0
+        # triangle faces (1538, 3) — present in the official pickle ('f');
+        # optional so synthetic test params keep working
+        self.faces = (
+            np.asarray(d["f"], np.int32) if d.get("f") is not None else None
+        )
 
     def shaped_joints(self, beta: jnp.ndarray) -> jnp.ndarray:
         """(B, 10) betas -> (B, 16, 3) rest-pose skeleton joints."""

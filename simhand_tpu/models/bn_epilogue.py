@@ -61,11 +61,13 @@ def _masked_reduce_kernel(g_ref, x_ref, a_ref, b_ref, c_ref, d_ref,
     y = x * a_ref[...] + b_ref[...]
     dy = jnp.where(y > 0.0, g, 0.0)
     xhat = x * c_ref[...] + d_ref[...]
-    # accumulate into (8, TC) — plain vector adds along the sublane-group
-    # axis; the expensive cross-sublane 8->1 collapse happens ONCE at the
-    # end instead of per tile
-    psd = jnp.sum(dy.reshape(tm // 8, 8, tc), axis=0)
-    psx = jnp.sum((dy * xhat).reshape(tm // 8, 8, tc), axis=0)
+    # accumulate into (R, TC) — R=8 keeps the per-tile reduction to plain
+    # vector adds along the sublane-group axis; the expensive cross-sublane
+    # 8->1 collapse happens ONCE at the end instead of per tile. R=1 is the
+    # tiny-tile fallback (tm not a multiple of 8).
+    r = acc_dy.shape[0]
+    psd = jnp.sum(dy.reshape(tm // r, r, tc), axis=0)
+    psx = jnp.sum((dy * xhat).reshape(tm // r, r, tc), axis=0)
 
     @pl.when(i == 0)
     def _():
@@ -149,8 +151,8 @@ def masked_dual_reduce(g2d, x2d, A, B, C, D, interpret=None):
             jax.ShapeDtypeStruct((1, c), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((8, tc), jnp.float32),
-            pltpu.VMEM((8, tc), jnp.float32),
+            pltpu.VMEM((8 if tm % 8 == 0 else 1, tc), jnp.float32),
+            pltpu.VMEM((8 if tm % 8 == 0 else 1, tc), jnp.float32),
         ],
         interpret=interpret,
     )(g2d, x2d, _scal(A, c), _scal(B, c), _scal(C, c), _scal(D, c))
@@ -373,3 +375,69 @@ def _bn_add_relu_bwd(eps, impl, res, g):
 
 
 bn_add_relu_train.defvjp(_bn_add_relu_fwd, _bn_add_relu_bwd)
+
+
+# --------------------------------------------------------------------------
+# flax wrappers: BN(+add)+ReLU with running-stat state, drop-in for the
+# resnet's bn+relu sites. Param/stat leaf names match flax BatchNorm
+# (scale/bias + batch_stats mean/var) so torch-port and checkpoints are
+# unaffected.
+# --------------------------------------------------------------------------
+
+import flax.linen as nn  # noqa: E402
+
+
+class BNRelu(nn.Module):
+    """y = relu(bn(x)) with the custom-VJP backward (impl= 'pallas'/'xla').
+
+    Per-replica statistics only (like FusedBatchNorm); flax-BN numerics.
+    """
+
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: object = jnp.float32
+    param_dtype: object = jnp.float32
+    impl: str = "pallas"
+
+    @nn.compact
+    def __call__(self, x, residual=None):
+        features = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(features, jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(features, jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (features,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (features,),
+                          self.param_dtype)
+        x = x.astype(self.dtype)
+        if self.use_running_average:
+            inv = jax.lax.rsqrt(ra_var.value + self.epsilon)
+            a32 = inv * scale.astype(jnp.float32)
+            b32 = bias.astype(jnp.float32) - ra_mean.value * a32
+            y = x * a32.astype(self.dtype) + b32.astype(self.dtype)
+            if residual is not None:
+                y = y + residual
+            return jnp.maximum(y, 0)
+
+        if residual is not None:
+            y = bn_add_relu_train(x, residual.astype(self.dtype), scale,
+                                  bias, self.epsilon, self.impl)
+        else:
+            y = bn_relu_train(x, scale, bias, self.epsilon, self.impl)
+        if not self.is_initializing():
+            # stats recomputed outside the VJP for the running update;
+            # XLA CSEs them with the forward's identical expressions
+            _, mu, var = _fwd_impl(
+                jax.lax.stop_gradient(x), scale, bias, self.epsilon
+            )
+            ra_mean.value = (
+                self.momentum * ra_mean.value + (1 - self.momentum) * mu
+            )
+            ra_var.value = (
+                self.momentum * ra_var.value + (1 - self.momentum) * var
+            )
+        return y

@@ -30,21 +30,27 @@ class BasicBlock(nn.Module):
     conv: ModuleDef
     norm: ModuleDef
     expansion: int = 1
+    # fused BN(+add)+ReLU module (models/bn_epilogue.BNRelu); when set,
+    # every bn+relu site goes through its custom-VJP kernels
+    act_norm: ModuleDef | None = None
 
     @nn.compact
     def __call__(self, x):
         residual = x
         y = self.conv(self.filters, (3, 3), (self.strides, self.strides), name="conv1")(x)
-        y = self.norm(name="bn1")(y)
-        y = nn.relu(y)
+        if self.act_norm is not None:
+            y = self.act_norm(name="bn1")(y)
+        else:
+            y = nn.relu(self.norm(name="bn1")(y))
         y = self.conv(self.filters, (3, 3), name="conv2")(y)
-        y = self.norm(name="bn2")(y)
         if residual.shape != y.shape:
             residual = self.conv(
                 self.filters, (1, 1), (self.strides, self.strides), name="downsample_conv"
             )(x)
             residual = self.norm(name="downsample_bn")(residual)
-        return nn.relu(y + residual)
+        if self.act_norm is not None:
+            return self.act_norm(name="bn2")(y, residual)
+        return nn.relu(self.norm(name="bn2")(y) + residual)
 
 
 class Bottleneck(nn.Module):
@@ -55,18 +61,22 @@ class Bottleneck(nn.Module):
     conv: ModuleDef
     norm: ModuleDef
     expansion: int = 4
+    act_norm: ModuleDef | None = None
 
     @nn.compact
     def __call__(self, x):
         residual = x
         y = self.conv(self.filters, (1, 1), name="conv1")(x)
-        y = self.norm(name="bn1")(y)
-        y = nn.relu(y)
+        if self.act_norm is not None:
+            y = self.act_norm(name="bn1")(y)
+        else:
+            y = nn.relu(self.norm(name="bn1")(y))
         y = self.conv(self.filters, (3, 3), (self.strides, self.strides), name="conv2")(y)
-        y = self.norm(name="bn2")(y)
-        y = nn.relu(y)
+        if self.act_norm is not None:
+            y = self.act_norm(name="bn2")(y)
+        else:
+            y = nn.relu(self.norm(name="bn2")(y))
         y = self.conv(self.filters * self.expansion, (1, 1), name="conv3")(y)
-        y = self.norm(name="bn3")(y)
         if residual.shape != y.shape:
             residual = self.conv(
                 self.filters * self.expansion,
@@ -75,7 +85,9 @@ class Bottleneck(nn.Module):
                 name="downsample_conv",
             )(x)
             residual = self.norm(name="downsample_bn")(residual)
-        return nn.relu(y + residual)
+        if self.act_norm is not None:
+            return self.act_norm(name="bn3")(y, residual)
+        return nn.relu(self.norm(name="bn3")(y) + residual)
 
 
 class ResNet(nn.Module):
@@ -114,7 +126,9 @@ class ResNet(nn.Module):
     bn_stop_gradient_stats: bool = False
     # hand-written analytic BN VJP (models/fused_bn.py) — exact semantics,
     # minimal 2-reduce backward. True/"xla" = jnp reduces; "pallas" = the
-    # one-pass dual-reduce kernel.
+    # one-pass dual-reduce kernel. "epilogue"/"epilogue_xla": fuse every
+    # bn+relu / bn+add+relu site through models/bn_epilogue's custom-VJP
+    # (Mosaic kernels / XLA-codegen reference) — exact flax-BN numerics.
     bn_fused: bool | str = False
 
     @nn.compact
@@ -122,7 +136,29 @@ class ResNet(nn.Module):
         conv = partial(
             nn.Conv, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32
         )
-        if self.bn_fused:
+        act_norm = None
+        if self.bn_fused in ("epilogue", "epilogue_xla"):
+            from simhand_tpu.models.bn_epilogue import BNRelu
+
+            act_norm = partial(
+                BNRelu,
+                impl="xla" if self.bn_fused == "epilogue_xla" else "pallas",
+                use_running_average=not train,
+                momentum=self.norm_momentum,
+                epsilon=self.norm_epsilon,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )
+            norm = partial(
+                nn.BatchNorm,
+                use_running_average=not train,
+                momentum=self.norm_momentum,
+                epsilon=self.norm_epsilon,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                axis_name=self.bn_axis_name if train else None,
+            )
+        elif self.bn_fused:
             from simhand_tpu.models.fused_bn import FusedBatchNorm
 
             norm = partial(
@@ -169,8 +205,10 @@ class ResNet(nn.Module):
             )(x)
         else:
             x = conv(64, (7, 7), (2, 2), padding=[(3, 3), (3, 3)], name="conv1")(x)
-        x = norm(name="bn1")(x)
-        x = nn.relu(x)
+        if act_norm is not None:
+            x = act_norm(name="bn1")(x)
+        else:
+            x = nn.relu(norm(name="bn1")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         for stage, num_blocks in enumerate(self.stage_sizes):
@@ -181,6 +219,7 @@ class ResNet(nn.Module):
                     strides=strides,
                     conv=conv,
                     norm=norm,
+                    act_norm=act_norm,
                     name=f"layer{stage + 1}_{b}",
                 )(x)
 

@@ -255,4 +255,62 @@ def test_demo_cli_on_synthetic_video(mano, monkeypatch, tmp_path):
     cap = cv2.VideoCapture(out)
     ok, frame = cap.read()
     cap.release()
-    assert ok and frame.shape == (120, 120, 3)  # demo center-crops square
+    # center-cropped square frame + the MANO wireframe side panel
+    assert ok and frame.shape == (120, 240, 3)
+    assert frame[:, 120:].any()  # the mesh panel is drawn
+
+
+def test_dl_shape_estimate_cli(mano, monkeypatch, tmp_path, capsys):
+    """--pre_joints runs the dl_shape_estimate regression: joints ->
+    cal_ref_bone -> ShapeNet betas saved + ratio-aligned error printed."""
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    import simhand_tpu.finetune.mano as mano_mod
+    from simhand_tpu.finetune.optimize_shape import main as opt_main
+    from simhand_tpu.finetune.shape_net import ShapeNet
+
+    # random ShapeNet params on disk
+    model = ShapeNet()
+    params = model.init(jax.random.key(0), jnp.zeros((1, 15)))["params"]
+    sn_path = str(tmp_path / "sn.msgpack")
+    with open(sn_path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+    # predicted joints: MANO rest skeleton mapped to 21 freihand slots
+    from simhand_tpu.core.joints import JointMap
+    jm = JointMap()
+    beta = jnp.zeros((1, 10))
+    _, j21 = mano(jnp.broadcast_to(jnp.eye(3), (1, 16, 3, 3)), beta)
+    pre = jm.mano_to_freihand(np.asarray(j21))
+    jpath = str(tmp_path / "pre.npy")
+    np.save(jpath, np.repeat(pre, 3, axis=0))
+
+    monkeypatch.setattr(mano_mod, "ManoModel", lambda path: mano)
+    out_beta = str(tmp_path / "dl.npy")
+    opt_main(["--mano", "unused", "--shapenet", sn_path,
+              "--pre_joints", jpath, "--out_beta", out_beta])
+    out = capsys.readouterr().out
+    assert "dl regression error" in out
+    assert np.load(out_beta).shape == (3, 10)
+
+
+def test_ref_bones_from_joints_matches_mano_bones(mano):
+    """cal_ref_bone on the MANO rest skeleton's 21 joints reproduces
+    new_cal_ref_bone's normalized bone lengths (same chain order)."""
+    import jax.numpy as jnp
+
+    from simhand_tpu.core.joints import JointMap
+    from simhand_tpu.finetune.lm_fit import ref_bones_from_joints
+    from simhand_tpu.finetune.mano import relative_bone_lengths
+
+    jm = JointMap()
+    beta = jnp.zeros((2, 10))
+    _, j21 = mano(jnp.broadcast_to(jnp.eye(3), (2, 16, 3, 3)), beta)
+    pre = jm.mano_to_freihand(np.asarray(j21))
+    got = ref_bones_from_joints(pre)
+    want = np.asarray(relative_bone_lengths(mano, beta))
+    # same skeleton measured through two code paths: identical up to the
+    # tip-vertex-vs-regressor difference (tips are excluded from bones)
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3)

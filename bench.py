@@ -64,12 +64,16 @@ def main():
         bn_fused = bn_fused_env
     else:
         bn_fused = bn_fused_env == "1"
+    accum = int(os.environ.get("BENCH_ACCUM", "1"))
     model = ContrastiveModel(
         resnet_size=resnet_size, dtype=jnp.bfloat16, stem=stem,
         bn_subsample=bn_subsample, bn_stop_gradient_stats=bn_sg,
         bn_fused=bn_fused,
+        remat=os.environ.get("BENCH_REMAT", "0") == "1",
     )
-    opt_cfg = OptimizerConfig(train_iters_per_epoch=1000, epochs=100, warmup_epochs=10)
+    opt_cfg = OptimizerConfig(train_iters_per_epoch=1000, epochs=100,
+                              warmup_epochs=10,
+                              accumulate_grad_batches=accum)
     state = create_train_state(
         model, opt_cfg, jax.random.key(0), input_shape=(2, side, side, 3)
     )

@@ -139,6 +139,10 @@ def main(argv=None):
     p.add_argument("--val_dataset", default=None,
                    help="registry key for eval (default: first --dataset)")
     p.add_argument("--val_data_dir", default=None)
+    p.add_argument("--val_split", default="val",
+                   help="split for the eval dataset (val/test)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in --out_dir")
     p.add_argument("--backbone", default="50", choices=["50", "152"])
     p.add_argument("--pretrain", default=None,
                    help="torch .pth encoder init (SiMHand or torchvision)")
@@ -200,7 +204,7 @@ def main(argv=None):
     else:
         val_root = None
     val_ds = build_composed_dataset(
-        val_name, val_root, "val", setup=args.setup, synthetic_n=64,
+        val_name, val_root, args.val_split, setup=args.setup, synthetic_n=64,
     )
 
     bn_variant = getattr(args, "bn_variant", "exact")
@@ -233,6 +237,18 @@ def main(argv=None):
         apply_fn=model.apply, params=params, tx=tx, batch_stats=batch_stats
     )
 
+    os.makedirs(args.out_dir, exist_ok=True)
+    from simhand_tpu.train.checkpoint import CheckpointManager
+
+    manager = CheckpointManager(
+        os.path.join(args.out_dir, "checkpoints"), metric="det_total"
+    )
+    global_step = 0
+    if args.resume and manager.latest_step() is not None:
+        state = manager.restore(state)
+        global_step = manager.latest_step()
+        logger.info("resumed from step %d", global_step)
+
     mesh = create_mesh() if len(jax.devices()) > 1 else None
     step_fn = make_detnet_train_step(model, mesh=mesh)
     if mesh is not None:
@@ -241,8 +257,8 @@ def main(argv=None):
     builder = DetnetSampleBuilder(train=True)
     val_builder = DetnetSampleBuilder(train=False)
 
-    global_step = 0
-    for epoch in range(args.epochs):
+    start_epoch = global_step // max(steps_per_epoch, 1)
+    for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         losses = []
         for batch in detnet_batch_iterator(
@@ -265,17 +281,14 @@ def main(argv=None):
             metrics = evaluate_detnet(model, state, val_ds, val_builder,
                                       args.batch_size)
             logger.info("eval @ epoch %d: %s", epoch, metrics)
+            manager.save(global_step, jax.device_get(state),
+                         {"det_total": float(np.mean(losses))})
         if args.max_steps and global_step >= args.max_steps:
             break
 
-    os.makedirs(args.out_dir, exist_ok=True)
-    from simhand_tpu.train.checkpoint import CheckpointManager
-
-    manager = CheckpointManager(
-        os.path.join(args.out_dir, "checkpoints"), metric="det_total"
-    )
-    manager.save(global_step, jax.device_get(state),
-                 {"det_total": float(np.mean(losses))})
+    if manager.latest_step() != global_step:
+        manager.save(global_step, jax.device_get(state),
+                     {"det_total": float(np.mean(losses))})
     manager.wait()
     manager.close()
     # torch-format export of the fine-tuned detnet (interop:

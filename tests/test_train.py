@@ -280,3 +280,82 @@ def test_mesh_batch_stats_are_replica_mean():
     for w, g in zip(flat_w, flat_g):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_grad_accumulation_equivalent_to_averaged_update():
+    """MultiSteps(k) over k micro-batches applies exactly the update of
+    the k-averaged gradient through the same LARS+Adam+schedule stack —
+    the global-batch-8192 semantics of the reference's num_of_mini_batch
+    (BASELINE config #4). Bitwise up to f32 mean association."""
+    from simhand_tpu.train.optimizer import make_optimizer
+
+    model = ContrastiveModel(resnet_size="18")
+    cfg = ContrastiveConfig(
+        experiment_type="simclr", augmentation=("crop", "rotate", "resize"),
+        image_side=32.0,
+    )
+    rng = np.random.default_rng(7)
+    micro = [synthetic_batch(rng, B=4) for _ in range(2)]
+
+    opt_accum = OptimizerConfig(
+        train_iters_per_epoch=4, epochs=2, warmup_epochs=1,
+        accumulate_grad_batches=2,
+    )
+    state = create_train_state(
+        model, opt_accum, jax.random.key(0), input_shape=(2, 32, 32, 3)
+    )
+    # the jitted step donates the state — snapshot before stepping
+    params0 = jax.tree.map(lambda x: np.asarray(x).copy(), state.params)
+    stats0 = jax.tree.map(lambda x: np.asarray(x).copy(), state.batch_stats)
+    step = make_train_step(model, cfg)
+    s_accum = state
+    for b in micro:
+        s_accum, _ = step(s_accum, b)
+
+    # manual path: average the two micro-grads, apply once through the
+    # same inner optimizer (same lr schedule position)
+    from simhand_tpu.train.loop import _step_fn  # grads via the same loss
+
+    def grads_of(batch):
+        import jax.numpy as jnp
+        from simhand_tpu.models.contrastive import (
+            contrastive_loss_from_projections,
+        )
+
+        def loss_fn(params):
+            images = jnp.concatenate(
+                [batch["transformed_image1"], batch["transformed_image2"]]
+            )
+            (_, proj), _ = model.apply(
+                {"params": params, "batch_stats": stats0},
+                images, train=True, mutable=["batch_stats"],
+            )
+            loss, _ = contrastive_loss_from_projections(proj, batch, cfg, None)
+            return loss
+
+        return jax.grad(loss_fn)(params0)
+
+    g = jax.tree.map(
+        lambda a, b: (a + b) / 2.0, grads_of(micro[0]), grads_of(micro[1])
+    )
+    # the inner (unwrapped) optimizer with identical base lr and
+    # schedule geometry: base_lr = lr*sqrt(1024*accum) and steps/accum
+    import math
+
+    opt_plain = OptimizerConfig(
+        train_iters_per_epoch=2, epochs=2, warmup_epochs=1,
+        accumulate_grad_batches=1,
+        lr=opt_accum.lr * math.sqrt(2),
+    )
+    assert opt_plain.base_lr == pytest.approx(opt_accum.base_lr)
+    assert opt_plain.total_steps == opt_accum.total_steps
+    tx = make_optimizer(opt_plain, params0)
+    opt_state = tx.init(params0)
+    updates, _ = tx.update(g, opt_state, params0)
+    import optax
+
+    want = optax.apply_updates(params0, updates)
+
+    for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(s_accum.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)

@@ -211,6 +211,63 @@ class WeightedMixDataset:
 # sample builder
 # --------------------------------------------------------------------------
 
+def photometric_augment(img: np.ndarray, rng: np.random.Generator,
+                        brightness: float = 0.5, contrast: float = 0.5,
+                        saturation: float = 0.5, hue: float = 0.15,
+                        blur_radius: float = 0.5) -> np.ndarray:
+    """Train-time blur + color jitter of the reference fine-tune loader
+    (handataset.py:367-377 + utils/imgutils.py:10-58): gaussian blur with
+    radius ~ U(0,1)*blur_radius, then brightness/saturation/hue/contrast
+    factors drawn like torchvision ColorJitter and applied in a SHUFFLED
+    order. cv2/numpy equivalents of the PIL ops (same distributions and
+    composition; not byte-identical to PIL resampling). uint8 in/out."""
+    import cv2
+
+    r = float(rng.uniform()) * blur_radius
+    if r > 1e-3:
+        img = cv2.GaussianBlur(img, (0, 0), sigmaX=r)
+
+    f32 = img.astype(np.float32)
+
+    def _brightness(x, f=float(rng.uniform(max(0, 1 - brightness),
+                                           1 + brightness))):
+        return x * f
+
+    def _saturation(x, f=float(rng.uniform(max(0, 1 - saturation),
+                                           1 + saturation))):
+        gray = (x @ np.array([0.299, 0.587, 0.114], np.float32))[..., None]
+        return gray + (x - gray) * f
+
+    def _hue(x, f=float(rng.uniform(-hue, hue))):
+        hsv = cv2.cvtColor(
+            np.clip(x, 0, 255).astype(np.uint8), cv2.COLOR_RGB2HSV
+        ).astype(np.int16)
+        hsv[..., 0] = (hsv[..., 0] + int(round(f * 180))) % 180
+        return cv2.cvtColor(hsv.astype(np.uint8),
+                            cv2.COLOR_HSV2RGB).astype(np.float32)
+
+    def _contrast(x, f=float(rng.uniform(max(0, 1 - contrast),
+                                         1 + contrast))):
+        mean = (x @ np.array([0.299, 0.587, 0.114], np.float32)).mean()
+        return mean + (x - mean) * f
+
+    # like the reference, zero-strength ops are skipped entirely
+    # (imgutils.py get_color_params returns None factors)
+    ops = []
+    if brightness > 0:
+        ops.append(_brightness)
+    if saturation > 0:
+        ops.append(_saturation)
+    if hue > 0:
+        ops.append(_hue)
+    if contrast > 0:
+        ops.append(_contrast)
+    rng.shuffle(ops)
+    for op in ops:
+        f32 = op(f32)
+    return np.clip(f32, 0, 255).astype(np.uint8)
+
+
 class DetnetSampleBuilder:
     def __init__(
         self,
@@ -222,6 +279,7 @@ class DetnetSampleBuilder:
         scale_jitter: float = 0.1,
         max_rot: float = np.pi,
         crop_scale: float = 2.2,
+        color_jitter: bool = True,
     ):
         self.train = train
         self.inp_res = inp_res
@@ -231,6 +289,7 @@ class DetnetSampleBuilder:
         self.scale_jitter = scale_jitter
         self.max_rot = max_rot
         self.crop_scale = crop_scale
+        self.color_jitter = color_jitter
 
     def __call__(self, sample: dict, rng: np.random.Generator) -> dict:
         kp2d = sample["kp2d"]
@@ -280,7 +339,12 @@ class DetnetSampleBuilder:
                 }
             )
 
-        img = transform_img_cv2(sample["image"], affine, [self.inp_res, self.inp_res])
+        image = sample["image"]
+        if self.train and self.color_jitter:
+            # reference order: blur + color jitter on the full frame,
+            # THEN the affine crop (handataset.py:367-384)
+            image = photometric_augment(image, rng)
+        img = transform_img_cv2(image, affine, [self.inp_res, self.inp_res])
         img = img.astype(np.float32) / 255.0 - 0.5  # normalize(0.5, 1)
         out["img"] = img
         return out

@@ -153,3 +153,36 @@ def test_train_cli_multiset_weighted(tmp_path):
     ])
     assert state is not None
     assert (tmp_path / "out" / "checkpoints").exists()
+
+
+def test_photometric_augment_semantics():
+    """blur + shuffled color jitter: deterministic per-rng, train-only,
+    identity-ish at the distribution centers."""
+    cv2 = pytest.importorskip("cv2")
+
+    from simhand_tpu.finetune.datasets import (
+        DetnetSampleBuilder,
+        SyntheticPoseDataset,
+        photometric_augment,
+    )
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+
+    a = photometric_augment(img, np.random.default_rng(5))
+    b = photometric_augment(img, np.random.default_rng(5))
+    np.testing.assert_array_equal(a, b)           # deterministic
+    c = photometric_augment(img, np.random.default_rng(6))
+    assert (a != c).any()                          # rng-dependent
+    assert a.dtype == np.uint8 and a.shape == img.shape
+    # zero-strength jitter = blur-only pipeline stays close to the input
+    d = photometric_augment(img, np.random.default_rng(7), brightness=0,
+                            contrast=0, saturation=0, hue=0, blur_radius=0)
+    np.testing.assert_array_equal(d, img)
+
+    # eval builder never jitters; train builder does
+    ds = SyntheticPoseDataset(n=2, side=64)
+    val = DetnetSampleBuilder(train=False)
+    o1 = val(ds[0], np.random.default_rng(1))
+    o2 = val(ds[0], np.random.default_rng(2))
+    np.testing.assert_array_equal(o1["img"], o2["img"])

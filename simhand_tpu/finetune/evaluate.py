@@ -32,7 +32,8 @@ SETS_2D = ("cmu", "hand_labels", "hand143", "panoptic", "ganerated", "gan",
 
 
 def evaluate_dataset(model, state, dataset, key: str, batch_size: int = 64,
-                     max_batches: int | None = None) -> dict:
+                     max_batches: int | None = None,
+                     dump_pre_joints: str | None = None) -> dict:
     import jax
 
     from simhand_tpu.finetune.datasets import (
@@ -53,10 +54,13 @@ def evaluate_dataset(model, state, dataset, key: str, batch_size: int = 64,
     metric_eval = EvalUtil()       # aligned metric EPE (m)
     norm_eval = EvalUtil()         # normalized-frame EPE
     px_eval = EvalUtil()           # 2D pixel PCK
+    pre_joints = [] if dump_pre_joints else None
     n_batches = 0
     for batch in detnet_batch_iterator(dataset, builder, batch_size,
                                        shuffle=False):
         preds = apply(state.params, state.batch_stats, batch["img"])
+        if pre_joints is not None:
+            pre_joints.append(np.asarray(preds["xyz"], np.float32))
         if is_2d or "joint" not in batch:
             # heatmap argmax -> input-space 2D keypoints
             uv = np.asarray(preds["uv"], np.float64)        # (N,21,2) rc @32
@@ -82,6 +86,14 @@ def evaluate_dataset(model, state, dataset, key: str, batch_size: int = 64,
         n_batches += 1
         if max_batches and n_batches >= max_batches:
             break
+
+    if pre_joints is not None:
+        # the reference's out_testset/<data>_pre_joints.npy artifact —
+        # feeds optimize_shape --pre_joints (dl_shape_estimate) and
+        # recon_epe (aik_pose): (N, 21, 3) freihand-order normalized
+        # predictions
+        np.save(dump_pre_joints, np.concatenate(pre_joints))
+        logger.info("dumped predictions: %s", dump_pre_joints)
 
     out: dict = {"dataset": key, "batches": n_batches}
     if is_2d:
@@ -130,6 +142,11 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--max_batches", type=int, default=None)
     p.add_argument("--out_json", default=None)
+    p.add_argument("--dump_pre_joints", default=None,
+                   help="save predicted (N,21,3) joints npy — the "
+                        "reference's out_testset/<data>_pre_joints.npy, "
+                        "consumed by optimize_shape --pre_joints and "
+                        "finetune.recon")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -182,7 +199,8 @@ def main(argv=None):
         synthetic_n=max(args.batch_size, 64),
     )
     metrics = evaluate_dataset(model, state, dataset, args.dataset,
-                               args.batch_size, args.max_batches)
+                               args.batch_size, args.max_batches,
+                               dump_pre_joints=args.dump_pre_joints)
     print(json.dumps(metrics))
     if args.out_json:
         with open(args.out_json, "w") as f:

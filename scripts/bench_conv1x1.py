@@ -32,6 +32,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--shapes", default=None)
     p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--fused_loader", action="store_true",
+                   help="bench the BN-apply-in-loader chain link")
     args = p.parse_args()
 
     import jax
@@ -51,17 +53,41 @@ def main():
         # ring for chaining: project y back to cin with a fixed matrix
         back = jnp.asarray(rng.normal(size=(cout, cin)) * 0.05, jnp.bfloat16)
 
-        def xla_once(x):
-            y = jax.lax.dot_general(
-                x, w, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.bfloat16)
-            s1 = jnp.sum(y.astype(jnp.float32), axis=0)
-            s2 = jnp.sum(jnp.square(y.astype(jnp.float32)), axis=0)
-            return y, s1, s2
+        A = jnp.asarray(rng.normal(size=cin) * 0.2 + 1.0, jnp.float32)
+        Bb = jnp.asarray(rng.normal(size=cin) * 0.1, jnp.float32)
 
-        def pallas_once(x):
-            return conv1x1_stats(x, w)
+        if args.fused_loader:
+            # the chain link: BN-apply+relu of the producing layer runs in
+            # the consuming matmul's loader (pallas) vs as its own fusion
+            # pass (XLA)
+            from simhand_tpu.ops.conv1x1 import conv1x1_bn_relu_stats
+
+            def xla_once(x):
+                xa = jnp.maximum(
+                    x.astype(jnp.float32) * A + Bb, 0
+                ).astype(jnp.bfloat16)
+                y = jax.lax.dot_general(
+                    xa, w, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16)
+                s1 = jnp.sum(y.astype(jnp.float32), axis=0)
+                s2 = jnp.sum(jnp.square(y.astype(jnp.float32)), axis=0)
+                return y, s1, s2
+
+            def pallas_once(x):
+                return conv1x1_bn_relu_stats(x, w, A, Bb)
+        else:
+            def xla_once(x):
+                y = jax.lax.dot_general(
+                    x, w, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16)
+                s1 = jnp.sum(y.astype(jnp.float32), axis=0)
+                s2 = jnp.sum(jnp.square(y.astype(jnp.float32)), axis=0)
+                return y, s1, s2
+
+            def pallas_once(x):
+                return conv1x1_stats(x, w)
 
         for impl, fn in (("xla", xla_once), ("pallas", pallas_once)):
             def one(x, _fn=fn):
@@ -92,6 +118,7 @@ def main():
             # both impls share the chaining matmul; report raw iter time
             print(json.dumps({
                 "shape": [m, cin, cout], "impl": impl,
+                "fused_loader": bool(args.fused_loader),
                 "ms": round(dt * 1e3, 4),
             }))
 

@@ -28,6 +28,25 @@ def _matmul_stats_kernel(x_ref, w_ref, y_ref, s1_ref, s2_ref,
     i = pl.program_id(1)                  # M-tile (inner)
     n_i = pl.num_programs(1)
     y = jnp.dot(x_ref[...], w_ref[...], preferred_element_type=jnp.float32)
+    _stats_epilogue(y, y_ref, s1_ref, s2_ref, acc1, acc2, i, n_i)
+
+
+def _affine_matmul_stats_kernel(x_ref, w_ref, a_ref, b_ref,
+                                y_ref, s1_ref, s2_ref, acc1, acc2):
+    """The fused-loader variant: the INPUT is the previous layer's raw
+    conv output; its BN-apply + ReLU (x*A+B, clamped) happens on the
+    loaded block before the matmul — the producing layer's activation is
+    never materialized post-BN. A, B are per-cin-channel f32."""
+    i = pl.program_id(1)
+    n_i = pl.num_programs(1)
+    x = jnp.maximum(
+        x_ref[...].astype(jnp.float32) * a_ref[...] + b_ref[...], 0.0
+    ).astype(x_ref.dtype)
+    y = jnp.dot(x, w_ref[...], preferred_element_type=jnp.float32)
+    _stats_epilogue(y, y_ref, s1_ref, s2_ref, acc1, acc2, i, n_i)
+
+
+def _stats_epilogue(y, y_ref, s1_ref, s2_ref, acc1, acc2, i, n_i):
     y_bf = y.astype(y_ref.dtype)
     y_ref[...] = y_bf
     # statistics of the ROUNDED activations — bit-matching XLA's pipeline,
@@ -95,4 +114,50 @@ def conv1x1_stats(x2d, w, interpret=None):
         ],
         interpret=interpret,
     )(x2d, w)
+    return y, s1.reshape(cout), s2.reshape(cout)
+
+
+def conv1x1_bn_relu_stats(x2d, w, A, B, interpret=None):
+    """y = relu(x2d * A + B) @ w with stats epilogue — the fused-loader
+    chain link: consumes the PREVIOUS conv's raw output and applies its
+    BN+ReLU on the fly, so that activation is never written post-BN.
+    A, B: per-cin-channel f32 (scale*inv, bias - mu*scale*inv)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    m, cin = x2d.shape
+    cout = w.shape[1]
+    tc = min(cout, 512)
+    tm = max(16, (1 << 21) // max(cin + 2 * tc, 256))
+    tm = 1 << (tm.bit_length() - 1)
+    tm = min(tm, m, 8192)
+    while m % tm:
+        tm //= 2
+    grid = (cout // tc, m // tm)
+    r = 8 if tm % 8 == 0 else 1
+    scal_in = pl.BlockSpec((1, cin), lambda j, i: (0, 0))
+    y, s1, s2 = pl.pallas_call(
+        _affine_matmul_stats_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, cin), lambda j, i: (i, 0)),
+            pl.BlockSpec((cin, tc), lambda j, i: (0, j)),
+            scal_in, scal_in,
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, tc), lambda j, i: (i, j)),
+            pl.BlockSpec((1, tc), lambda j, i: (0, j)),
+            pl.BlockSpec((1, tc), lambda j, i: (0, j)),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((m, cout), x2d.dtype),
+            jax.ShapeDtypeStruct((1, cout), jnp.float32),
+            jax.ShapeDtypeStruct((1, cout), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((r, tc), jnp.float32),
+            pltpu.VMEM((r, tc), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x2d, w, A.reshape(1, cin).astype(jnp.float32),
+      B.reshape(1, cin).astype(jnp.float32))
     return y, s1.reshape(cout), s2.reshape(cout)

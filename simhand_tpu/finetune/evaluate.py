@@ -134,7 +134,8 @@ def main(argv=None):
     p.add_argument("--data_dir", default=None)
     p.add_argument("--split", default="test")
     p.add_argument("--setup", default="s1", choices=["s1", "s2"])
-    p.add_argument("--backbone", default="50", choices=["50", "152"])
+    p.add_argument("--backbone", default="50",
+                   choices=["18", "50", "152"])  # 18: smoke/tests
     p.add_argument("--checkpoint", default=None,
                    help="orbax checkpoint dir written by finetune.train")
     p.add_argument("--pretrain", default=None,

@@ -143,7 +143,8 @@ def main(argv=None):
                    help="split for the eval dataset (val/test)")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --out_dir")
-    p.add_argument("--backbone", default="50", choices=["50", "152"])
+    p.add_argument("--backbone", default="50",
+                   choices=["18", "50", "152"])  # 18: smoke/tests
     p.add_argument("--pretrain", default=None,
                    help="torch .pth encoder init (SiMHand or torchvision)")
     p.add_argument("--epochs", type=int, default=120)

@@ -160,6 +160,7 @@ def test_device_augment_jittable_and_deterministic():
     assert not np.array_equal(np.asarray(a.images), np.asarray(c.images))
 
 
+@pytest.mark.slow
 def test_device_augment_train_step_end_to_end():
     """Raw uint8 batch -> fused augmentation -> simhand_w loss, sharded."""
     from simhand_tpu.models import ContrastiveModel

@@ -78,6 +78,7 @@ def test_bn_add_relu_matches_autodiff(impl):
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_resnet_epilogue_variant_matches_exact_bn_f32():
     """rn18 with bn_fused='epilogue' == exact flax BN at f32 (the bf16
     paths differ only by rounding order — checked at module level above)."""

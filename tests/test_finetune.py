@@ -303,6 +303,7 @@ def test_uvd_xyz_roundtrip():
     np.testing.assert_allclose(back, xyz, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_detnet_sharded_step_runs_on_mesh():
     """The detnet train step jits and runs over the 8-device mesh
     (per-replica BN, pmean'd grads)."""

@@ -117,7 +117,8 @@ def test_eval_cli_synthetic_and_tip_only(tmp_path):
     from simhand_tpu.finetune.evaluate import main as eval_main
 
     m = eval_main([
-        "--dataset", "synthetic", "--batch_size", "8", "--max_batches", "1",
+        "--dataset", "synthetic", "--backbone", "18",
+        "--batch_size", "8", "--max_batches", "1",
         "--out_json", str(tmp_path / "m.json"),
     ])
     assert {"epe_mm_mean", "auc_20_50mm", "epe_norm_mean"} <= set(m)
@@ -136,7 +137,7 @@ def test_eval_cli_synthetic_and_tip_only(tmp_path):
                     rng.integers(0, 255, (240, 320, 3), dtype=np.uint8))
     m = eval_main([
         "--dataset", "do", "--data_dir", str(tmp_path / "do"),
-        "--batch_size", "8", "--max_batches", "1",
+        "--backbone", "18", "--batch_size", "8", "--max_batches", "1",
     ])
     assert {"epe_px_mean", "pck@8px", "pck@16px"} <= set(m)
 
@@ -146,7 +147,7 @@ def test_train_cli_multiset_weighted(tmp_path):
     from simhand_tpu.finetune.train import main as train_main
 
     state = train_main([
-        "--dataset", "synthetic,synthetic",
+        "--dataset", "synthetic,synthetic", "--backbone", "18",
         "--sample_weights", "0.7,0.3", "--epoch_size", "16",
         "--epochs", "1", "--batch_size", "8", "--max_steps", "1",
         "--eval_every", "5", "--out_dir", str(tmp_path / "out"),

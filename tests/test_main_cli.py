@@ -25,6 +25,7 @@ def run_main(tmp_root, extra):
 
 
 @pytest.mark.filterwarnings("ignore")
+@pytest.mark.slow
 def test_train_resume_eval_cycle(tmp_path, monkeypatch):
     monkeypatch.setenv("BASE_PATH", str(tmp_path / "runs"))
     # constants are read at import; reload to pick up the env
@@ -52,6 +53,7 @@ def test_train_resume_eval_cycle(tmp_path, monkeypatch):
 
 
 @pytest.mark.filterwarnings("ignore")
+@pytest.mark.slow
 def test_fault_injected_preemption_checkpoints_and_exits(tmp_path, monkeypatch):
     """--fault_inject_preempt_step drives the SIGTERM preemption path:
     the run checkpoints at that step and stops cleanly."""
@@ -80,6 +82,7 @@ def test_fault_injected_preemption_checkpoints_and_exits(tmp_path, monkeypatch):
 
 
 @pytest.mark.filterwarnings("ignore")
+@pytest.mark.slow
 def test_simhand_vis_dumps_iteration_npy(tmp_path, monkeypatch):
     """--vis/--vis_save_dir writes the per-iteration npy of the pair
     (reference: simhand_vis_model.py:53-64)."""

@@ -292,6 +292,7 @@ def test_subsampled_bn_matches_flax_at_subsample_1():
     )
 
 
+@pytest.mark.slow
 def test_subsampled_bn_model_trains():
     from simhand_tpu.models.contrastive import (
         ContrastiveConfig,
@@ -515,6 +516,7 @@ def test_fused_bn_stop_gradient_matches_subsampled_variant():
         np.asarray(ga_p["scale"]), np.asarray(gb_p["scale"]), atol=3e-5)
 
 
+@pytest.mark.slow
 def test_fused_bn_pallas_reduce_matches_xla():
     """reduce_impl='pallas' (interpret on CPU) gives the same gradients as
     the jnp path across a full rn18 step."""

@@ -230,6 +230,7 @@ def test_sharded_pallas_nt_xent_matches_xla_sharded():
         )
 
 
+@pytest.mark.slow
 def test_sharded_use_pallas_train_step():
     """make_train_step(mesh=...) with use_pallas routes through the
     sharded pallas loss and still trains (finite, decreasing loss)."""

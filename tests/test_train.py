@@ -102,6 +102,7 @@ def test_sharded_eval_matches_single_device():
     assert got == pytest.approx(want, rel=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_train_step_runs():
     model = ContrastiveModel(resnet_size="18")
     state = make_state(model)
@@ -184,6 +185,7 @@ def test_cross_replica_bn_trains_on_mesh():
     assert np.isfinite(float(metrics["contrastive_loss"]))
 
 
+@pytest.mark.slow
 def test_projection_stats_metrics_logged_for_equivariant():
     """peclr-family steps emit the reference's per-axis projection stats
     (reference: peclr_model.py:98-112); simclr steps do not."""
@@ -282,6 +284,7 @@ def test_mesh_batch_stats_are_replica_mean():
                                    rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_grad_accumulation_equivalent_to_averaged_update():
     """MultiSteps(k) over k micro-batches applies exactly the update of
     the k-averaged gradient through the same LARS+Adam+schedule stack —

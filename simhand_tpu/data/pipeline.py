@@ -61,6 +61,7 @@ class PretrainDataset:
         flags: AugmentFlags,
         params: AugmentParams,
         seed: int = 0,
+        use_palm: bool = False,
     ):
         self.source = source
         self.experiment_type = experiment_type
@@ -68,6 +69,10 @@ class PretrainDataset:
         self.flags = flags
         self.params = params
         self.seed = seed
+        # supervised route only: regress the palm (midpoint of wrist and
+        # index_mcp, ait order) instead of the wrist — reference
+        # data_set.py:388-396 / --use_palm
+        self.use_palm = use_palm
 
     def __len__(self) -> int:
         return len(self.source)
@@ -118,6 +123,24 @@ class PretrainDataset:
             sample["image"], j25, rng
         )
         K_new = T.astype(np.float32) @ K
+        joints3d = np.asarray(sample["joints3D"], np.float32)
+        joints_raw = np.asarray(sample["joints_raw"], np.float32)
+        if self.use_palm:
+            # reference order (data_set.py:384-396): palm-ify the 3D
+            # joints AFTER the augment, recompute 2.5D through the
+            # updated K (replacing the augmented 2.5D — K_new carries the
+            # transform), and palm-ify joints_raw too
+            def palm(j):
+                j = j.copy()
+                j[0] = (j[0] + j[2]) / 2.0      # ait wrist=0, index_mcp=2
+                return j
+
+            joints3d = palm(joints3d)
+            joints_raw = palm(joints_raw)
+            j25_aug_j, scale = geometry.convert_to_2_5d(
+                jnp.asarray(K_new), jnp.asarray(joints3d)
+            )
+            j25_aug = np.asarray(j25_aug_j)
         j3d_recreated = np.asarray(
             geometry.convert_2_5d_to_3d(
                 jnp.asarray(j25_aug), scale, jnp.asarray(K_new)
@@ -126,12 +149,12 @@ class PretrainDataset:
         return {
             "image": normalize_image(img),
             "joints": j25_aug.astype(np.float32),
-            "joints3D": np.asarray(sample["joints3D"], np.float32),
+            "joints3D": joints3d,
             "K": K_new,
             "scale": np.float32(scale),
             "joints3D_recreated": j3d_recreated.astype(np.float32),
             "joints_valid": np.asarray(sample["joints_valid"], np.float32),
-            "joints_raw": np.asarray(sample["joints_raw"], np.float32),
+            "joints_raw": joints_raw,
             "T": T.astype(np.float32),
         }
 

@@ -129,7 +129,8 @@ def main(argv=None):
         "handclr": "simhand", "handclr_w": "simhand_w",
         "simhand-v0": "simhand",
     }.get(experiment_type, experiment_type)
-    dataset = PretrainDataset(source, experiment_type, flags, params, seed=seed)
+    dataset = PretrainDataset(source, experiment_type, flags, params, seed=seed,
+                              use_palm=getattr(args, 'use_palm', False))
 
     # ---------------- model ----------------
     model_param = cfg_mod.read_json(cfg_mod.model_config_path(experiment_type))

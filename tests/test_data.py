@@ -387,3 +387,35 @@ def test_youtube_source(tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         YoutubeSource(str(tmp_path), "train")
+
+
+def test_supervised_use_palm(tmp_path):
+    """--use_palm regresses the palm: wrist moved to (wrist+index_mcp)/2
+    AFTER augmentation, 2.5D recomputed through the updated K, joints_raw
+    palm-ified too (reference: data_set.py:384-396, 875-879)."""
+    from simhand_tpu.data.augment_cv2 import AugmentFlags, AugmentParams
+    from simhand_tpu.data.pipeline import PretrainDataset
+    from simhand_tpu.data.sources import (
+        Hand100MSource,
+        generate_synthetic_hand100m,
+    )
+
+    root = str(tmp_path / "h")
+    generate_synthetic_hand100m(root, num_images=4, num_videos=2, side=128,
+                                scale="smoke")
+    src = Hand100MSource(root, source="100doh", scale="smoke")
+    flags = AugmentFlags(crop=True, resize=True)
+    a = PretrainDataset(src, "supervised", flags, AugmentParams())[0]
+    b = PretrainDataset(src, "supervised", flags, AugmentParams(),
+                        use_palm=True)[0]
+    np.testing.assert_allclose(
+        b["joints3D"][0], (a["joints3D"][0] + a["joints3D"][2]) / 2,
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(b["joints3D"][1:], a["joints3D"][1:])
+    np.testing.assert_allclose(
+        b["joints_raw"][0], (a["joints_raw"][0] + a["joints_raw"][2]) / 2,
+        rtol=1e-6,
+    )
+    # 2.5D <-> 3D stays self-consistent through the palm substitution
+    assert np.abs(b["joints3D_recreated"] - b["joints3D"]).max() < 1e-2

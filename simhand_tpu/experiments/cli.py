@@ -34,7 +34,7 @@ def get_general_args(
     parser.add_argument("--color_jitter", action="store_true", help="To enable random jitter")
     parser.add_argument("--crop", action="store_true", help="To enable cropping")
     parser.add_argument("--cut_out", action="store_true", help="To enable random cut out")
-    parser.add_argument("--flip", action="store_true", help="To enable random flipping")
+    parser.add_argument("--flip", action="store_true", help="(kept-and-ignored like the reference: no flip op exists in its augmenter either — the flag only fed the experiment-name code)")
     parser.add_argument("--gaussian_blur", action="store_true", help="To enable gaussian blur")
     parser.add_argument("--rotate", action="store_true", help="To rotate samples randomly")
     parser.add_argument("--random_crop", action="store_true", help="To enable random cropping")
@@ -53,8 +53,8 @@ def get_general_args(
     parser.add_argument("-accumulate_grad_batches", type=int, help="Number of batches to accumulate gradient.")
     parser.add_argument("-lr", type=float, default=None, help="learning rate")
     parser.add_argument("-optimizer", type=str, default=None, choices=["LARS", "adam"], help="Select optimizer")
-    parser.add_argument("--denoiser", action="store_true", default=False, help="To enable denoising")
-    parser.add_argument("--heatmap", action="store_true", default=False, help="To enable heatmap model")
+    parser.add_argument("--denoiser", action="store_true", default=False, help="z-root denoiser MLP (reference: only meaningful with --heatmap, which errors for all 8 types; kept for name/compat)")
+    parser.add_argument("--heatmap", action="store_true", default=False, help="heatmap model variant (the reference raises for every experiment type — experiments/utils.py:633-665; rejected here too)")
     parser.add_argument(
         "-sources", action="append", default=[],
         choices=["freihand", "interhand", "mpii", "youtube", "ego4d", "100doh",
@@ -68,7 +68,7 @@ def get_general_args(
     parser.add_argument("-experiment_name", type=str, default="", help="experiment name for logging")
     parser.add_argument("-save_period", type=int, default=1, help="interval at which experiments should be saved")
     parser.add_argument("-save_top_k", type=int, default=3, help="Top snapshots to save")
-    parser.add_argument("--encoder_trainable", action="store_true", default=False, help="To enable encoder training in SSL")
+    parser.add_argument("--encoder_trainable", action="store_true", default=False, help="(kept-and-ignored like the reference: declared at experiments/utils.py:211 but never consumed)")
     parser.add_argument(
         "-resnet_size", type=str, default="18",
         choices=["18", "34", "50", "101", "152"], help="Resnet size",

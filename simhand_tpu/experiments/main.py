@@ -62,6 +62,14 @@ def main(argv=None):
     from simhand_tpu.experiments import config as cfg_mod
 
     args = get_general_args()
+    if getattr(args, "heatmap", False):
+        # faithful to the reference: get_model raises for every
+        # experiment type when heatmap_flag is set
+        # (/root/reference/src/experiments/utils.py:633-665)
+        raise NotImplementedError(
+            "--heatmap is not implemented for any experiment type "
+            "(matches the reference)"
+        )
 
     logging.basicConfig(
         level=logging.DEBUG if args.debug else logging.INFO,
@@ -225,7 +233,23 @@ def main(argv=None):
         constants.SAVED_MODELS_BASE_PATH, exp_name, "checkpoints"
     )
     manager = CheckpointManager(ckpt_dir, save_top_k=int(args.save_top_k))
-    if args.resume or args.resume_path:
+    if args.checkpoint:
+        # reference restore_model: restore a NAMED checkpoint; here the
+        # name is the orbax step number (digits anywhere in the name)
+        import re as _re
+
+        m = _re.search(r"\d+", args.checkpoint)
+        step_req = int(m.group()) if m else None
+        available = manager.all_steps() if step_req is not None else []
+        if step_req is not None and step_req not in available:
+            raise FileNotFoundError(
+                f"-checkpoint {args.checkpoint!r}: step {step_req} not "
+                f"under {ckpt_dir} (available: {available})"
+            )
+        restored = manager.restore(state, step=step_req)
+        state = restored
+        logger.info("restored checkpoint step %s", step_req)
+    elif args.resume or args.resume_path:
         restored = manager.restore(state)
         if restored is not None:
             state = restored
@@ -380,7 +404,9 @@ def main(argv=None):
             metric_logger.log_metrics(
                 {"contrastive_loss_val": float(np.mean(val_losses))}, global_step
             )
-        manager.save(global_step, jax.device_get(state), {"contrastive_loss": mean_loss})
+        if (epoch + 1) % max(int(args.save_period), 1) == 0 or epoch == epochs - 1:
+            manager.save(global_step, jax.device_get(state),
+                         {"contrastive_loss": mean_loss})
 
     manager.wait()
     if args.profile_dir:

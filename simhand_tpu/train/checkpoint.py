@@ -62,6 +62,9 @@ class CheckpointManager:
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
 
+    def all_steps(self) -> list[int]:
+        return sorted(self._mgr.all_steps())
+
     def best_step(self) -> int | None:
         return self._mgr.best_step()
 

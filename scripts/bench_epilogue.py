@@ -126,7 +126,6 @@ def main():
                             dx = masked_dx(g, rs[0], A, B, C, D, P,
                                            P * 0 + 0.1, P * 0 + 0.2, g.dtype)
                         return dx.astype(jnp.bfloat16)
-                traffic_planes = {"ka": 2, "kb": 3}[args.mode]
             elif args.mode == "bwd":
                 def one(g, rs, _impl=impl):
                     dx, ds, db = _bn_relu_bwd(1e-5, _impl, rs, g)

@@ -239,15 +239,19 @@ def main(argv=None):
         import re as _re
 
         m = _re.search(r"\d+", args.checkpoint)
-        step_req = int(m.group()) if m else None
-        available = manager.all_steps() if step_req is not None else []
-        if step_req is not None and step_req not in available:
+        if m is None:
+            raise ValueError(
+                f"-checkpoint {args.checkpoint!r}: no step number in the "
+                f"name (available steps: {manager.all_steps()})"
+            )
+        step_req = int(m.group())
+        available = manager.all_steps()
+        if step_req not in available:
             raise FileNotFoundError(
                 f"-checkpoint {args.checkpoint!r}: step {step_req} not "
                 f"under {ckpt_dir} (available: {available})"
             )
-        restored = manager.restore(state, step=step_req)
-        state = restored
+        state = manager.restore(state, step=step_req)
         logger.info("restored checkpoint step %s", step_req)
     elif args.resume or args.resume_path:
         restored = manager.restore(state)

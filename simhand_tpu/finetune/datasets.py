@@ -165,8 +165,11 @@ class ConcatDataset:
 class WeightedMixDataset:
     """Weighted sampling mix: a virtual epoch of ``epoch_size`` samples,
     sample i drawn from dataset d with probability ``weights[d]`` (then
-    uniformly within d), deterministically from ``(seed, i)`` so the mix
-    is reproducible and shardable.
+    uniformly within d), deterministically from ``(seed, epoch, i)`` so
+    the mix is reproducible and shardable. ``set_epoch`` (called by
+    ``detnet_batch_iterator``) redraws the multiset each epoch — without
+    it every epoch would repeat one fixed draw and samples outside it
+    would never be trained on.
 
     The reference approximates dataset balancing by subsampling at
     construction (handataset.py ``subset_ratio``); per-sample weighted
@@ -194,6 +197,10 @@ class WeightedMixDataset:
             else sum(len(d) for d in self.datasets)
         )
         self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
 
     def __len__(self):
         return self.epoch_size
@@ -201,7 +208,7 @@ class WeightedMixDataset:
     def __getitem__(self, i: int) -> dict:
         if i < 0 or i >= len(self):
             raise IndexError(i)
-        rng = np.random.default_rng([self.seed, i])
+        rng = np.random.default_rng([self.seed, self._epoch, i])
         d = int(rng.choice(len(self.datasets), p=self.weights))
         ds = self.datasets[d]
         return ds[int(rng.integers(len(ds)))]
@@ -351,12 +358,19 @@ class DetnetSampleBuilder:
 
 
 def detnet_batch_iterator(dataset, builder: DetnetSampleBuilder, batch_size: int,
-                          seed: int = 0, epoch: int = 0, shuffle: bool = True):
+                          seed: int = 0, epoch: int = 0, shuffle: bool = True,
+                          drop_remainder: bool = True):
+    """``drop_remainder=False`` (eval) also yields the final partial
+    batch, so no sample is silently excluded from reported metrics — at
+    the cost of one extra jit shape for the tail."""
+    if hasattr(dataset, "set_epoch"):
+        dataset.set_epoch(epoch)
     n = len(dataset)
     order = np.arange(n)
     if shuffle:
         np.random.default_rng([seed, epoch]).shuffle(order)
-    for b in range(n // batch_size):
+    n_batches = n // batch_size if drop_remainder else -(-n // batch_size)
+    for b in range(n_batches):
         idxs = order[b * batch_size : (b + 1) * batch_size]
         samples = []
         for i in idxs:

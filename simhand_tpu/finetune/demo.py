@@ -63,6 +63,11 @@ def main(argv=None):
     p.add_argument("--pretrain", default=None,
                    help="detnet .pth (torch interop) to load")
     p.add_argument("--backbone", default="50")
+    p.add_argument("--shape_net", default=None,
+                   help="trained ShapeNet params (flax msgpack): regress "
+                        "the MANO shape per frame with One-Euro smoothing "
+                        "(reference demo_dl.py:31-36,~100) instead of the "
+                        "one-shot PSO fit")
     p.add_argument("--max_frames", type=int, default=None)
     p.add_argument("--out", default=None, help="write annotated video here")
     args = p.parse_args(argv)
@@ -94,8 +99,29 @@ def main(argv=None):
 
         mano = ManoModel(args.mano)
 
+    shape_apply = None
+    if args.shape_net:
+        from flax import serialization
+
+        from simhand_tpu.finetune.shape_net import ShapeNet
+
+        shape_model = ShapeNet()
+        shape_params = shape_model.init(
+            jax.random.key(0), jnp.zeros((1, 15))
+        )["params"]
+        with open(args.shape_net, "rb") as f:
+            shape_params = serialization.from_bytes(shape_params, f.read())
+        shape_apply = jax.jit(
+            lambda bones: shape_model.apply(
+                {"params": shape_params}, bones
+            )
+        )
+
     cap = cv2.VideoCapture(args.video if args.video else 0)
     smoother = OneEuroFilter(mincutoff=1.0, beta=0.0)
+    # demo_dl.py smooths the regressed shape with its own filter
+    # (shape_fliter = OneEuroFilter(4.0, 0.0))
+    shape_smoother = OneEuroFilter(mincutoff=4.0, beta=0.0)
     writer = None
     beta = None
     n = 0
@@ -116,8 +142,18 @@ def main(argv=None):
         if mano is not None:
             from simhand_tpu.finetune.recon import reconstruct
 
-            # beta fitted once on the first frame (reference: demo.py
-            # fits the shape once, then tracks pose per frame)
+            if shape_apply is not None:
+                # DL route (demo_dl.py): bone lengths of the smoothed
+                # prediction -> ShapeNet beta every frame, One-Euro
+                # smoothed
+                from simhand_tpu.finetune.lm_fit import ref_bones_from_joints
+
+                bones = ref_bones_from_joints(xyz[None])
+                beta = shape_smoother.process(
+                    np.asarray(shape_apply(jnp.asarray(bones, jnp.float32)))[0]
+                )
+            # else: beta fitted once on the first frame (reference:
+            # demo.py fits the shape once, then tracks pose per frame)
             verts, _, _, beta = reconstruct(mano, xyz, beta=beta)
             panel = render_mesh_panel(verts, mano.faces, side)
             frame_out = np.concatenate([frame_out, panel], axis=1)

@@ -57,7 +57,7 @@ def evaluate_dataset(model, state, dataset, key: str, batch_size: int = 64,
     pre_joints = [] if dump_pre_joints else None
     n_batches = 0
     for batch in detnet_batch_iterator(dataset, builder, batch_size,
-                                       shuffle=False):
+                                       shuffle=False, drop_remainder=False):
         preds = apply(state.params, state.batch_stats, batch["img"])
         if pre_joints is not None:
             pre_joints.append(np.asarray(preds["xyz"], np.float32))

@@ -91,7 +91,7 @@ def evaluate_detnet(model, state, dataset, builder, batch_size=64):
     evaluator = EvalUtil()
     hm_acc = AverageMeter()
     for batch in detnet_batch_iterator(
-        dataset, builder, batch_size, shuffle=False
+        dataset, builder, batch_size, shuffle=False, drop_remainder=False
     ):
         preds = apply(state.params, state.batch_stats, batch["img"])
         hm_acc.update(
@@ -258,10 +258,41 @@ def main(argv=None):
     builder = DetnetSampleBuilder(train=True)
     val_builder = DetnetSampleBuilder(train=False)
 
+    # npy training curves, the artifact contract of the reference's
+    # plot.py (minimal-hand/plot.py:11-16): per-epoch [epoch, value] rows
+    # for the heatmap/delta/location losses plus per-dataset AUC and
+    # heatmap-accuracy dicts. Rendered by `python -m
+    # simhand_tpu.finetune.plot -p <out_dir>`.
+    curve_files = {"det_hm": "lossH", "det_dm": "lossD", "det_lm": "lossL"}
+    loss_rows = {name: [] for name in curve_files.values()}
+    auc_all: dict[str, list] = {}
+    acc_hm_all: dict[str, list] = {}
+    if args.resume and global_step:
+        # keep the pre-resume history instead of overwriting the npy
+        # artifacts with only post-resume rows
+        for name in loss_rows:
+            f = os.path.join(args.out_dir, f"{name}.npy")
+            if os.path.exists(f):
+                loss_rows[name] = np.load(f).reshape(-1, 2).tolist()
+        for store, fname in ((auc_all, "auc_all"), (acc_hm_all, "acc_hm_all")):
+            f = os.path.join(args.out_dir, f"{fname}.npy")
+            if os.path.exists(f):
+                store.update(np.load(f, allow_pickle=True).item())
+
+    def dump_curves():
+        for name, rows in loss_rows.items():
+            np.save(os.path.join(args.out_dir, f"{name}.npy"),
+                    np.asarray(rows, np.float64))
+        np.save(os.path.join(args.out_dir, "auc_all.npy"),
+                np.asarray(auc_all, dtype=object))
+        np.save(os.path.join(args.out_dir, "acc_hm_all.npy"),
+                np.asarray(acc_hm_all, dtype=object))
+
     start_epoch = global_step // max(steps_per_epoch, 1)
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         losses = []
+        part_sums: dict[str, float] = {}
         for batch in detnet_batch_iterator(
             train_ds, builder, args.batch_size, epoch=epoch
         ):
@@ -271,9 +302,21 @@ def main(argv=None):
                 batch = shard_batch(mesh, batch)
             state, parts = step_fn(state, batch)
             losses.append(float(parts["det_total"]))
+            for key in curve_files:
+                part_sums[key] = part_sums.get(key, 0.0) + float(parts[key])
             global_step += 1
             if args.max_steps and global_step >= args.max_steps:
                 break
+        if not losses:
+            raise RuntimeError(
+                f"epoch {epoch} yielded zero batches: len(train_ds)="
+                f"{len(train_ds)} < batch_size={args.batch_size} — shrink "
+                "--batch_size or grow the dataset/--epoch_size"
+            )
+        for key, name in curve_files.items():
+            loss_rows[name].append(
+                [epoch + 1, part_sums.get(key, 0.0) / max(len(losses), 1)]
+            )
         logger.info(
             "epoch %d: det_total %.4f (%.1fs)",
             epoch, float(np.mean(losses)), time.time() - t0,
@@ -282,8 +325,16 @@ def main(argv=None):
             metrics = evaluate_detnet(model, state, val_ds, val_builder,
                                       args.batch_size)
             logger.info("eval @ epoch %d: %s", epoch, metrics)
+            if "auc" in metrics:
+                auc_all.setdefault(val_name, []).append(
+                    [epoch + 1, metrics["auc"]]
+                )
+            acc_hm_all.setdefault(val_name, []).append(
+                [epoch + 1, metrics["hm_pck"]]
+            )
             manager.save(global_step, jax.device_get(state),
                          {"det_total": float(np.mean(losses))})
+        dump_curves()
         if args.max_steps and global_step >= args.max_steps:
             break
 

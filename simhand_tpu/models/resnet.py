@@ -140,6 +140,15 @@ class ResNet(nn.Module):
         if self.bn_fused in ("epilogue", "epilogue_xla"):
             from simhand_tpu.models.bn_epilogue import BNRelu
 
+            if self.bn_axis_name is not None:
+                raise NotImplementedError(
+                    "bn_fused='epilogue' has no cross-replica statistics "
+                    "path: BNRelu sites would compute per-replica stats "
+                    "while downsample BNs sync over "
+                    f"{self.bn_axis_name!r} — mixed semantics. Use the "
+                    "exact/fused variants with bn_axis_name."
+                )
+
             act_norm = partial(
                 BNRelu,
                 impl="xla" if self.bn_fused == "epilogue_xla" else "pallas",

@@ -89,6 +89,11 @@ def conv1x1_stats(x2d, w, interpret=None):
     tm = min(tm, m, 8192)
     while m % tm:
         tm //= 2
+    if cout % tc:
+        raise ValueError(
+            f"cout={cout} must be a multiple of the channel tile {tc} "
+            "(a floored grid would leave output columns unwritten)"
+        )
     grid = (cout // tc, m // tm)
     r = 8 if tm % 8 == 0 else 1
     y, s1, s2 = pl.pallas_call(
@@ -132,6 +137,11 @@ def conv1x1_bn_relu_stats(x2d, w, A, B, interpret=None):
     tm = min(tm, m, 8192)
     while m % tm:
         tm //= 2
+    if cout % tc:
+        raise ValueError(
+            f"cout={cout} must be a multiple of the channel tile {tc} "
+            "(a floored grid would leave output columns unwritten)"
+        )
     grid = (cout // tc, m // tm)
     r = 8 if tm % 8 == 0 else 1
     scal_in = pl.BlockSpec((1, cin), lambda j, i: (0, 0))

@@ -43,6 +43,46 @@ def test_weighted_mix_deterministic_and_weighted():
     even = WeightedMixDataset([a, b], epoch_size=100, seed=0)
     np.testing.assert_allclose(even.weights, [0.5, 0.5])
 
+    # the multiset must be redrawn per epoch (set_epoch), or samples
+    # outside epoch 0's draw would never be trained on
+    e0 = [ds[i]["image"].tobytes() for i in range(20)]
+    ds.set_epoch(1)
+    e1 = [ds[i]["image"].tobytes() for i in range(20)]
+    assert e0 != e1
+    ds.set_epoch(0)
+    assert [ds[i]["image"].tobytes() for i in range(20)] == e0
+
+
+def test_batch_iterator_epoch_and_tail():
+    """detnet_batch_iterator drives set_epoch on the mix dataset and,
+    with drop_remainder=False (eval), yields the final partial batch."""
+    from simhand_tpu.finetune.datasets import (
+        DetnetSampleBuilder,
+        SyntheticPoseDataset,
+        WeightedMixDataset,
+        detnet_batch_iterator,
+    )
+
+    a = SyntheticPoseDataset(n=6, seed=0, side=32)
+    ds = WeightedMixDataset([a], epoch_size=10, seed=3)
+    builder = DetnetSampleBuilder(train=False)
+
+    def epoch_images(epoch, **kw):
+        return [
+            b["img"] for b in detnet_batch_iterator(
+                ds, builder, 4, epoch=epoch, shuffle=False, **kw)
+        ]
+
+    tail = epoch_images(0, drop_remainder=False)
+    assert [b.shape[0] for b in tail] == [4, 4, 2]   # 10 = 4+4+2
+    dropped = epoch_images(0)
+    assert [b.shape[0] for b in dropped] == [4, 4]
+    # different epoch -> different mix draw, same epoch -> identical
+    assert not np.array_equal(np.concatenate(dropped),
+                              np.concatenate(epoch_images(1)))
+    np.testing.assert_array_equal(np.concatenate(dropped),
+                                  np.concatenate(epoch_images(0)))
+
 
 def test_build_composed_dataset_parsing():
     from simhand_tpu.finetune.datasets import ConcatDataset, WeightedMixDataset
@@ -154,6 +194,22 @@ def test_train_cli_multiset_weighted(tmp_path):
     ])
     assert state is not None
     assert (tmp_path / "out" / "checkpoints").exists()
+
+    # npy training-curve artifacts (the reference plot.py contract:
+    # [epoch, value] loss rows + per-dataset AUC/ACC_HM dicts)
+    import numpy as np
+
+    for name in ("lossH", "lossD", "lossL"):
+        arr = np.load(tmp_path / "out" / f"{name}.npy")
+        assert arr.shape == (1, 2) and arr[0, 0] == 1
+    acc = np.load(tmp_path / "out" / "acc_hm_all.npy",
+                  allow_pickle=True).item()
+    assert "synthetic" in acc and len(acc["synthetic"]) == 1
+
+    from simhand_tpu.finetune.plot import main as plot_main
+
+    fig = plot_main(["-p", str(tmp_path / "out")])
+    assert (tmp_path / "out" / "vis_train.png").exists() and fig
 
 
 def test_photometric_augment_semantics():

@@ -260,6 +260,43 @@ def test_demo_cli_on_synthetic_video(mano, monkeypatch, tmp_path):
     assert frame[:, 120:].any()  # the mesh panel is drawn
 
 
+def test_demo_cli_shape_net_route(mano, monkeypatch, tmp_path):
+    """--shape_net switches the demo to the demo_dl.py route: per-frame
+    ShapeNet shape regression (One-Euro smoothed) instead of the one-shot
+    PSO fit."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    import simhand_tpu.finetune.mano as mano_mod
+    from simhand_tpu.finetune.demo import main as demo_main
+    from simhand_tpu.finetune.shape_net import ShapeNet
+
+    vid = str(tmp_path / "in.mp4")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 10, (160, 120))
+    rng = np.random.default_rng(1)
+    for _ in range(3):
+        w.write(rng.integers(0, 255, (120, 160, 3), dtype=np.uint8))
+    w.release()
+
+    model = ShapeNet()
+    params = model.init(jax.random.key(0), jnp.zeros((1, 15)))["params"]
+    sn_path = str(tmp_path / "sn.msgpack")
+    with open(sn_path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+    monkeypatch.setattr(mano_mod, "ManoModel", lambda path: mano)
+    out = str(tmp_path / "out.mp4")
+    demo_main(["--video", vid, "--backbone", "18", "--max_frames", "2",
+               "--out", out, "--mano", "unused", "--shape_net", sn_path])
+    cap = cv2.VideoCapture(out)
+    ok, frame = cap.read()
+    cap.release()
+    assert ok and frame.shape == (120, 240, 3)
+    assert frame[:, 120:].any()
+
+
 def test_dl_shape_estimate_cli(mano, monkeypatch, tmp_path, capsys):
     """--pre_joints runs the dl_shape_estimate regression: joints ->
     cal_ref_bone -> ShapeNet betas saved + ratio-aligned error printed."""

@@ -313,10 +313,19 @@ def device_augment(
     origin, side, rec_jitter = crop_box_from_joints(j_rot[..., :2], margin, jitter)
     side = jnp.maximum(side, 1.0)
 
-    scale = out_size / side                               # (B,)
-    # total forward affine: scale * (rot - origin_shift)
+    # Reference crop is a numpy slice img[oy:oy+side, ox:ox+side] — it
+    # TRUNCATES at the right/bottom image edge, and the resize then
+    # stretches the truncated (possibly non-square) region with per-axis
+    # factors (augment_cv2.py crop+resize). Use the same clipped extents
+    # here or edge-overflowing boxes (common: side routinely exceeds the
+    # distance to the 224-crop border) diverge from the host/cv2 path.
+    H, W = img.shape[1], img.shape[2]
+    w_c = jnp.maximum(jnp.minimum(origin[:, 0] + side, W) - origin[:, 0], 1.0)
+    h_c = jnp.maximum(jnp.minimum(origin[:, 1] + side, H) - origin[:, 1], 1.0)
+    scale_xy = jnp.stack([out_size / w_c, out_size / h_c], axis=1)  # (B, 2)
+    # total forward affine: per-axis scale * (rot - origin_shift)
     mats = rot.at[:, 0, 2].add(-origin[:, 0]).at[:, 1, 2].add(-origin[:, 1])
-    mats = mats * scale[:, None, None]
+    mats = mats * scale_xy[:, :, None]
     img = affine_warp(img, mats, (out_size, out_size))
     j_aug = jnp.concatenate(
         [apply_affine_2d(j[..., :2], mats), j[..., 2:]], axis=-1

@@ -213,8 +213,13 @@ class HostAugmenter:
             )
 
         if f.gaussian_noise and rng.integers(0, 2):
-            noise = np.zeros(img.shape, np.uint8)
-            cv2.randn(noise, (0,), (p.noise_std,) * 3)
+            # same distribution as the reference's cv2.randn (normal
+            # saturating-cast to uint8: negatives clip to 0) but drawn
+            # from the explicit Generator — cv2's per-thread global RNG
+            # would break (seed, epoch, idx) reproducibility
+            noise = np.clip(
+                rng.normal(0.0, p.noise_std, img.shape), 0, 255
+            ).astype(np.uint8)
             img = img + noise  # uint8 wraparound, as in the reference
 
         if f.color_drop and rng.integers(0, 2):

@@ -51,6 +51,25 @@ def normalize_image(img_uint8: np.ndarray) -> np.ndarray:
     return (x - IMAGENET_MEAN) / IMAGENET_STD
 
 
+def convert_to_2_5d_np(K: np.ndarray, joints_3d: np.ndarray) -> np.ndarray:
+    """Numpy twin of core.geometry.convert_to_2_5d for the host loader's
+    hot path (no per-sample jax dispatch). Every reference prep projects
+    camera-space joints to 2.5D pixel coords before augmenting
+    (data_set.py: convert_to_2_5D(sample['K'], sample['joints3D'])) —
+    for the Hand100M sources (K=I, depth 1.0) this is an x/y no-op with
+    z_rel=0, but for freihand/youtube it is what makes the crop geometry
+    see pixels instead of meters."""
+    from simhand_tpu.core.geometry import CHILD_JOINT, PARENT_JOINT
+
+    j = np.asarray(joints_3d, np.float64)
+    scale = np.linalg.norm(j[CHILD_JOINT] - j[PARENT_JOINT])
+    proj = (np.asarray(K, np.float64) @ j.T).T / j[:, -1:]
+    z_rel = (j[:, -1] - j[PARENT_JOINT, -1]) / scale
+    return np.concatenate(
+        [proj[:, :2], z_rel[:, None]], axis=1
+    ).astype(np.float32)
+
+
 class PretrainDataset:
     """Index-addressable prepared samples for any experiment type."""
 
@@ -85,7 +104,7 @@ class PretrainDataset:
     def _prep_view(self, sample: dict, rng, override_jitter):
         img, j_aug, _, applied = self.augmenter.transform(
             sample["image"],
-            sample["joints3D"],
+            convert_to_2_5d_np(sample["K"], sample["joints3D"]),
             rng,
             override_angle=None,
             override_jitter=override_jitter,
@@ -170,11 +189,25 @@ class PretrainDataset:
             pos = src.positive_idx[idx]
         else:
             pos = idx
+
+        def to_25d(j):
+            # batched convert_to_2_5d with identity K (cache sources are
+            # Hand100M crops: pixel x/y, pseudo-depth) — matches raw_pair
+            from simhand_tpu.core.geometry import CHILD_JOINT, PARENT_JOINT
+
+            j = np.asarray(j, np.float64)
+            scale = np.linalg.norm(
+                j[:, CHILD_JOINT] - j[:, PARENT_JOINT], axis=-1
+            )
+            xy = j[..., :2] / j[..., 2:3]
+            z = (j[..., 2] - j[:, PARENT_JOINT, 2][:, None]) / scale[:, None]
+            return np.concatenate([xy, z[..., None]], -1).astype(np.float32)
+
         return {
             "image1": src.gather_crops(idx),
             "image2": src.gather_crops(pos),
-            "joints1": src.joints3d[idx],
-            "joints2": src.joints3d[pos],
+            "joints1": to_25d(src.joints3d[idx]),
+            "joints2": to_25d(src.joints3d[pos]),
             "joints_raw1": src.joints_raw[idx],
             "joints_raw2": src.joints_raw[pos],
         }
@@ -191,8 +224,9 @@ class PretrainDataset:
         return {
             "image1": anchor["image"],
             "image2": positive["image"],
-            "joints1": anchor["joints3D"].astype(np.float32),
-            "joints2": positive["joints3D"].astype(np.float32),
+            "joints1": convert_to_2_5d_np(anchor["K"], anchor["joints3D"]),
+            "joints2": convert_to_2_5d_np(positive["K"],
+                                          positive["joints3D"]),
             "joints_raw1": anchor["joints_raw"].astype(np.float32),
             "joints_raw2": positive["joints_raw"].astype(np.float32),
         }
@@ -216,29 +250,39 @@ class PretrainDataset:
         img2, j2_aug, p2 = self._prep_view(positive, rng, override_jitter)
 
         out = {"transformed_image1": img1, "transformed_image2": img2}
-        if etype == "simhand_vis":
-            # un-augmented (geometry-only) companion views, as produced by
-            # the reference's DefaultSampleAugmenter (data_set.py:741-788)
-            geo = HostAugmenter(
-                AugmentFlags(crop=self.flags.crop, resize=True,
-                             rotate=self.flags.rotate),
-                self.params,
-            )
-            v1, _, _, _ = geo.transform(
-                anchor["image"], anchor["joints3D"], rng,
-                override_jitter=override_jitter,
-            )
-            v2, _, _, _ = geo.transform(
-                positive["image"], positive["joints3D"], rng,
-                override_jitter=override_jitter,
-            )
-            out["image1"] = normalize_image(v1)
-            out["image2"] = normalize_image(v2)
         if etype in WEIGHTED_TYPES:
             out["joints1_ori"] = self._ori_joints(anchor)
             out["joints2_ori"] = self._ori_joints(positive)
             out["joints1_aug"] = j1_aug.astype(np.float32)
             out["joints2_aug"] = j2_aug.astype(np.float32)
+        if etype == "simhand_vis":
+            # companion views through the reference's DefaultSampleAugmenter
+            # semantics (data_set.py:741-788 + sample_augmenter_default.py:
+            # 501-516): every flag forced off except resize; never rotated;
+            # cropped (with the zero-jitter override) ONLY when the main
+            # crop flag is off — the override is what triggers the crop
+            # step. joints{1,2}_ori for vis are THESE transforms' joint
+            # outputs, not the raw-scaled joints of the other _w preps.
+            geo = HostAugmenter(
+                AugmentFlags(crop=False, resize=self.flags.resize,
+                             rotate=False),
+                self.params,
+            )
+            v1, jo1, _, _ = geo.transform(
+                anchor["image"],
+                convert_to_2_5d_np(anchor["K"], anchor["joints3D"]), rng,
+                override_jitter=override_jitter,
+            )
+            v2, jo2, _, _ = geo.transform(
+                positive["image"],
+                convert_to_2_5d_np(positive["K"], positive["joints3D"]),
+                rng,
+                override_jitter=override_jitter,
+            )
+            out["image1"] = normalize_image(v1)
+            out["image2"] = normalize_image(v2)
+            out["joints1_ori"] = jo1.astype(np.float32)
+            out["joints2_ori"] = jo2.astype(np.float32)
         if etype in PARAM_TYPES:
             out.update(self._param_dict(p1, 1))
             out.update(self._param_dict(p2, 2))
@@ -278,55 +322,81 @@ def batch_iterator(
             rng_order.shuffle(order)
     nb = n // batch_size if drop_last else -(-n // batch_size)
 
-    work: "queue.Queue[int]" = queue.Queue()
+    n_workers = min(num_threads, nb) or 1
+    # Backpressure: work indices are issued in a bounded window ahead of
+    # the consumer, so at most ~window prepared batches ever sit in
+    # `done` — an unbounded buffer would let workers prefetch the whole
+    # epoch (tens of GB at global-batch scale) while the first train
+    # step spends minutes compiling.
+    window = 2 * n_workers
+    work: "queue.Queue[int | None]" = queue.Queue()
     done: dict[int, dict] = {}
+    errors: list[BaseException] = []
     done_lock = threading.Condition()
-
-    for b in range(nb):
-        work.put(b)
-
     stop = threading.Event()
 
     def worker():
         while not stop.is_set():
-            try:
-                b = work.get_nowait()
-            except queue.Empty:
+            b = work.get()
+            if b is None or stop.is_set():
                 return
-            idxs = order[b * batch_size : (b + 1) * batch_size]
-            if raw:
-                batch = dataset.raw_batch(idxs)
-                if batch is None:
-                    batch = _collate([dataset.raw_pair(int(i)) for i in idxs])
-            else:
-                batch = _collate([dataset.__getitem__(int(i), epoch) for i in idxs])
+            try:
+                idxs = order[b * batch_size : (b + 1) * batch_size]
+                if raw:
+                    batch = dataset.raw_batch(idxs)
+                    if batch is None:
+                        batch = _collate(
+                            [dataset.raw_pair(int(i)) for i in idxs]
+                        )
+                else:
+                    batch = _collate(
+                        [dataset.__getitem__(int(i), epoch) for i in idxs]
+                    )
+            except BaseException as e:  # propagate, don't deadlock
+                with done_lock:
+                    errors.append(e)
+                    done_lock.notify_all()
+                return
             with done_lock:
                 done[b] = batch
                 done_lock.notify_all()
 
     threads = [
-        threading.Thread(target=worker, daemon=True)
-        for _ in range(min(num_threads, nb) or 1)
+        threading.Thread(target=worker, daemon=True) for _ in range(n_workers)
     ]
     for t in threads:
         t.start()
+    issued = min(nb, window)
+    for b in range(issued):
+        work.put(b)
 
     try:
         for b in range(nb):
             with done_lock:
                 while b not in done:
+                    if errors:
+                        raise errors[0]
                     done_lock.wait()
-                yield done.pop(b)
+                batch = done.pop(b)
+            if issued < nb:
+                work.put(issued)
+                issued += 1
+            yield batch
+        with done_lock:
+            if errors:
+                raise errors[0]
     finally:
         # An abandoned generator (e.g. --max_steps breaking mid-epoch)
         # must not leave workers running inside cv2 C++ code when the
         # interpreter exits — that aborts with "terminate called without
-        # an active exception". Drain the queue and join.
+        # an active exception". Drain, send exit sentinels, and join.
         stop.set()
         try:
             while True:
                 work.get_nowait()
         except queue.Empty:
             pass
+        for _ in threads:
+            work.put(None)
         for t in threads:
             t.join(timeout=10)

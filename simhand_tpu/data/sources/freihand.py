@@ -19,15 +19,24 @@ _JM = JointMap()
 
 class FreihandPretrainSource:
     def __init__(self, root_dir: str, split: str = "train",
-                 train_ratio: float = 0.99):
+                 train_ratio: float = 0.99, seed: int = 5):
         self.root = root_dir
         with open(os.path.join(root_dir, "training_K.json")) as f:
             self.K = np.asarray(json.load(f), np.float32)
         with open(os.path.join(root_dir, "training_xyz.json")) as f:
             self.xyz = np.asarray(json.load(f), np.float32)
         n = len(self.xyz)
-        cut = int(n * train_ratio)
-        base = np.arange(cut) if split == "train" else np.arange(cut, n)
+        # seeded SHUFFLED split, replicating sklearn.train_test_split
+        # (freihand_loader.py:45-71: random_state=seed, then sorted) — a
+        # contiguous cut would make val a biased single-session tail,
+        # FreiHAND being ordered by capture session
+        perm = np.random.RandomState(seed).permutation(n)
+        n_train = int(np.floor(n * train_ratio))
+        n_test = int(np.ceil(n * (1.0 - train_ratio)))
+        base = np.sort(
+            perm[n_test : n_test + n_train] if split == "train"
+            else perm[:n_test]
+        )
         # x4 replication: green-screen composites share labels with originals
         self.indices = np.concatenate([base + k * n for k in range(4)])
         self.n_unique = n

@@ -50,15 +50,27 @@ class YoutubeSource:
         a = self.annotations[idx]
         img_rec = self.images[a["image_id"]]
         img_name = os.path.join(self.root, img_rec["name"])
-        img = cv2.cvtColor(cv2.imread(img_name), cv2.COLOR_BGR2RGB)
+        raw = cv2.imread(img_name)
+        if raw is None:
+            raise FileNotFoundError(img_name)
+        img = cv2.cvtColor(raw, cv2.COLOR_BGR2RGB)
         vertices = np.asarray(a["vertices"], np.float32)
         joints_mano = self.joints_from_mesh(vertices)
-        joints3d = _JM.mano_to_ait(joints_mano)
+        joints3d = _JM.mano_to_ait(joints_mano).astype(np.float32)
+        # reference semantics (youtube_loader.py:160-170): left hands are
+        # flipped to right; joints_raw keeps the mesh depth while
+        # joints3D gets depth := 1.0 (identity K, like the mined crops);
+        # joints_valid is zeros — the pseudo-labels are not supervision
+        if int(a.get("is_left", 0)) == 1:
+            img = cv2.flip(img, 1)
+            joints3d[:, 0] = img.shape[1] - joints3d[:, 0]
+        joints_raw = joints3d.copy()
+        joints3d[:, -1] = 1.0
         return {
             "image": img,
             "image_name": img_name,
             "K": np.eye(3, dtype=np.float32),
-            "joints3D": joints3d.astype(np.float32),
-            "joints_valid": np.ones((21, 1), np.float32),
-            "joints_raw": joints3d.astype(np.float32),
+            "joints3D": joints3d,
+            "joints_valid": np.zeros((21, 1), np.float32),
+            "joints_raw": joints_raw,
         }

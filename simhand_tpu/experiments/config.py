@@ -120,16 +120,19 @@ def _validate(m: Config) -> None:
 
 
 def prepare_name(prefix: str, train_param: Config, hybrid_naming: bool = False) -> str:
-    """Experiment-name codes from active augmentations (reference:
-    src/experiments/utils.py:404-462)."""
+    """Experiment-name codes from active augmentations — byte-identical
+    to the reference's layout (src/experiments/utils.py:404-462):
+    ``{prefix}{batch_size}{sorted _-joined UPPERCASE codes}``, e.g.
+    ``simhand_w_8192C_CJ_Re_Ro`` — so checkpoint dirs / TB runs / the
+    experiment registry line up with names from reference tooling."""
     codes = {
-        "color_drop": "cd", "color_jitter": "cj", "crop": "c",
-        "cut_out": "co", "gaussian_blur": "gb", "random_crop": "rc",
-        "resize": "re", "rotate": "ro", "gaussian_noise": "gn",
-        "sobel_filter": "sf",
+        "color_drop": "CD", "color_jitter": "CJ", "crop": "C",
+        "cut_out": "CO", "flip": "F", "gaussian_blur": "GB",
+        "random_crop": "RC", "resize": "Re", "rotate": "Ro",
+        "sobel_filter": "SF", "gaussian_noise": "GN",
     }
     active = [
         codes[k] for k, v in train_param["augmentation_flags"].items()
         if v and k in codes
     ]
-    return f"{prefix}{'_'.join(sorted(active))}_{train_param['batch_size']}"
+    return f"{prefix}{train_param['batch_size']}{'_'.join(sorted(active))}"

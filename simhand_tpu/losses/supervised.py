@@ -53,10 +53,23 @@ def loss_3d(
     return jnp.sum(jnp.abs(pred_3d - joints3d_gt) * w) / 3.0
 
 
+def torch_median(x: Array, axis: int | None = None) -> Array:
+    """``torch.median`` semantics: the LOWER of the two middle order
+    statistics for even counts (sorted index ``(n-1)//2``), where
+    ``jnp.median`` would interpolate. The reference logs medians through
+    torch, so metric parity needs this variant."""
+    if axis is None:
+        x = x.ravel()
+        axis = 0
+    n = x.shape[axis]
+    return jnp.take(jnp.sort(x, axis=axis), (n - 1) // 2, axis=axis)
+
+
 def epe_metrics(y_pred: Array, y_true: Array, prefix: str = "train"):
-    """Mean / median end-point error over (B, 21, D) joints."""
+    """Mean / median end-point error over (B, 21, D) joints
+    (reference: src/models/utils.py:56-76 — median via torch.median)."""
     d = jnp.sqrt(jnp.sum((y_pred - y_true) ** 2, axis=-1))
     return {
         f"EPE_mean_{prefix}": jnp.mean(d),
-        f"EPE_median_{prefix}": jnp.median(d),
+        f"EPE_median_{prefix}": torch_median(d),
     }

@@ -268,14 +268,19 @@ def pairwise_minmax(
     the streaming/pallas weighted losses.
 
     joints: (N, 21, 2) local rows (the full set when axis_name is None).
-    Under sharding the local extrema are pmin/pmax-reduced.
+    Under sharding the columns are the ALL-GATHERED global set (local
+    rows x global cols covers every pair once across devices) and the
+    local extrema are pmin/pmax-reduced — block-diagonal-only local
+    extrema would miss all cross-device pairs.
     """
-    N = joints.shape[0]
-    pad = (-N) % chunk
     cols = joints
+    if axis_name is not None:
+        cols = jax.lax.all_gather(joints, axis_name, tiled=True)
+    N = cols.shape[0]
+    pad = (-N) % chunk
     if pad:
         cols = jnp.concatenate(
-            [joints, jnp.full((pad,) + joints.shape[1:], 1e30, joints.dtype)]
+            [cols, jnp.full((pad,) + cols.shape[1:], 1e30, cols.dtype)]
         )
     n_chunks = cols.shape[0] // chunk
     cols_c = cols.reshape(n_chunks, chunk, *joints.shape[1:])

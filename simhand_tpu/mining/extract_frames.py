@@ -39,26 +39,41 @@ def extract_video(video_path: str, out_dir: str, stride: int = 30) -> int:
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--manifest", required=True, help="one video id per line (header skipped)")
+    p.add_argument("--manifest", required=True,
+                   help="video list: Ego4D layout (header + '<n> <id>.mp4 "
+                        "...'), 100DOH layout ('<id> ...'), or one bare "
+                        "id per line")
     p.add_argument("--video_dir", required=True)
     p.add_argument("--out_dir", required=True)
     p.add_argument("--stride", type=int, default=30)
     p.add_argument("--ext", default=".mp4")
     args = p.parse_args(argv)
 
+    # Both documented manifests are multi-column: the Ego4D list has a
+    # header row and the name in column 1 ("<num> <id>.mp4 <size> ...",
+    # ego4d_process.py:44-45), the 100DOH list has the bare id in column
+    # 0 (100doh_process.py:29-30). Take the first token ending in --ext,
+    # else column 0 + --ext; single-column id-per-line files still work.
     with open(args.manifest) as f:
-        lines = [ln.strip() for ln in f if ln.strip()]
-    if lines and not lines[0].endswith(args.ext) and " " in lines[0]:
-        lines = lines[1:]  # header row
+        rows = [ln.split() for ln in f if ln.strip()]
+    has_ext = [any(t.endswith(args.ext) for t in r) for r in rows]
+    if rows and not has_ext[0] and any(has_ext[1:]):
+        rows = rows[1:]  # Ego4D-style header row
+
+    def pick(parts):
+        for tok in parts:
+            if tok.endswith(args.ext):
+                return tok
+        return parts[0] + args.ext
 
     total, skipped = 0, 0
-    for vid in lines:
-        name = vid if vid.endswith(args.ext) else vid + args.ext
+    for parts in rows:
+        name = pick(parts)
         path = os.path.join(args.video_dir, name)
         if not os.path.exists(path):
             skipped += 1
             continue
-        n = extract_video(path, os.path.join(args.out_dir, os.path.splitext(vid)[0]),
+        n = extract_video(path, os.path.join(args.out_dir, os.path.splitext(name)[0]),
                           args.stride)
         total += n
     print(f"extracted {total} frames; {skipped} videos missing")

@@ -77,7 +77,11 @@ def topk_similar(
         col_ids = chunk_idx * db_chunk + jnp.arange(db_chunk)[None, :]
         same_video = query_vids[:, None] == vids[None, :]
         is_self = query_ids[:, None] == col_ids
-        d = jnp.where(same_video | is_self, jnp.inf, d)
+        # pad columns carry finite (~1e9-scale) distances and a -2 vid
+        # that never matches — mask them explicitly or a query with no
+        # valid cross-video candidate would select a pad index >= N
+        is_pad = col_ids >= N
+        d = jnp.where(same_video | is_self | is_pad, jnp.inf, d)
         # merge with running best: top-k of the concatenation.
         cat_d = jnp.concatenate([best_d, d], axis=1)
         cat_i = jnp.concatenate(
@@ -124,8 +128,10 @@ def _topk_all_queries(
 
 @partial(jax.jit, static_argnames=("k", "query_chunk", "db_chunk"))
 def topk_similar_all(
-    kp: Array,        # (N, 21, 2), N padded to a multiple of query_chunk
-    vids: Array,      # (N,)
+    kp: Array,        # (Q, 21, 2), Q padded to a multiple of query_chunk
+    vids: Array,      # (Q,)
+    db: Array,        # (N, 21, 2) — the UNPADDED corpus
+    db_vids: Array,   # (N,)
     k: int = 1,
     query_chunk: int = 8192,
     db_chunk: int = 8192,
@@ -133,11 +139,15 @@ def topk_similar_all(
     """Whole-corpus mining in ONE device program: a lax.scan over query
     chunks wraps the streaming top-k, so the host syncs exactly once
     (per-chunk host dispatch was 99% of wall time over a remote tunnel).
+
+    The db is passed separately from the (possibly padded) queries so
+    query padding never enters the candidate set — zero-keypoint pad
+    rows have small finite MPJPE to real hands and would otherwise be
+    minable as bogus positives.
     """
-    N = kp.shape[0]
-    q_ids = jnp.arange(N, dtype=jnp.int32)
+    q_ids = jnp.arange(kp.shape[0], dtype=jnp.int32)
     return _topk_all_queries(
-        kp, vids, q_ids, kp, vids, k=k, query_chunk=query_chunk,
+        kp, vids, q_ids, db, db_vids, k=k, query_chunk=query_chunk,
         db_chunk=db_chunk,
     )
 
@@ -205,7 +215,8 @@ def mine_similar_hands(
             vids_p = jnp.concatenate([vids, jnp.full((pad,), -3, vids.dtype)])
         if mesh is None:
             d, i = topk_similar_all(
-                kp_p, vids_p, k=k, query_chunk=query_chunk, db_chunk=db_chunk
+                kp_p, vids_p, kp, vids,
+                k=k, query_chunk=query_chunk, db_chunk=db_chunk,
             )
         else:
             fn = make_sharded_topk_all(mesh, k, query_chunk, db_chunk)
@@ -264,8 +275,19 @@ def mine_similar_hands(
 
 def attach_positives(annotations: list[dict], distances: np.ndarray,
                      indices: np.ndarray) -> list[dict]:
-    """Writes mining results into annotation dicts (v1-1 schema fields)."""
-    for a, d_row, i_row in zip(annotations, distances, indices):
+    """Writes mining results into annotation dicts (v1-1 schema fields).
+
+    Raises on the -1 no-candidate sentinel (a query whose every candidate
+    shares its video — e.g. k too large or a single-video corpus) rather
+    than silently wrapping to the last annotation."""
+    for n, (a, d_row, i_row) in enumerate(zip(annotations, distances,
+                                              indices)):
+        if (np.asarray(i_row) < 0).any():
+            raise ValueError(
+                f"annotation #{n} (hand_id {a.get('hand_id')}): no valid "
+                "cross-video candidate for at least one of its top-k "
+                "slots — shrink k or check the corpus has >1 video"
+            )
         a["positive_sample"] = [int(annotations[j]["hand_id"]) for j in i_row]
         a["distance"] = [float(x) for x in d_row]
     return annotations

@@ -160,9 +160,12 @@ def projection_stats(
     pts = jax.lax.stop_gradient(projections).reshape(two_b, d // 2, 2)
     out: dict[str, Array] = {}
     for name, half in (("proj1", pts[:b]), ("proj2", pts[b:])):
+        from simhand_tpu.losses.supervised import torch_median
+
         stats = {
             "mean": jnp.mean(half, axis=1),
-            "median": jnp.median(half, axis=1),
+            # torch.median lower-middle semantics (D/2=64 points is even)
+            "median": torch_median(half, axis=1),
             "min": jnp.min(half, axis=1),
             "max": jnp.max(half, axis=1),
         }
@@ -244,9 +247,14 @@ def contrastive_loss_from_projections(
     )
     if cfg.use_pallas and axis_name is not None and n_rows % 256 == 0:
         # global-batch pallas path: local rows stream against the
-        # all-gathered column set, fwd+bwd (losses/pallas_ntxent.py)
+        # all-gathered column set, fwd+bwd (losses/pallas_ntxent.py).
+        # Tile divisibility: local rows must fit ROW_TILE and the
+        # all-gathered column count must fit COL_TILE (512 plain / 256
+        # weighted) — axis_size is static under shard_map, so the
+        # fallback decision stays trace-time.
+        n_global = n_rows * jax.lax.axis_size(axis_name)
         interp = jax.default_backend() != "tpu"
-        if cfg.experiment_type not in _WEIGHTED:
+        if cfg.experiment_type not in _WEIGHTED and n_global % 512 == 0:
             from simhand_tpu.losses.pallas_ntxent import (
                 make_sharded_nt_xent_pallas,
             )

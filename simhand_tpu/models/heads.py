@@ -98,6 +98,9 @@ class RN25DWithMLPRef(nn.Module):
         kp2d = kp25d[..., :2]
         zrel = kp25d[..., 2:3]
         zrel = zrel.at[:, 0].set(0.0)  # root's relative depth is zero
+        # the reference's in-place `zrel[:, 0] = 0` mutates the aliased
+        # kp25d view too (rn_25D_wMLPref.py) — mirror that in the output
+        kp25d = jnp.concatenate([kp2d, zrel], axis=-1)
 
         kp2d_h = jnp.concatenate([kp2d, jnp.ones((B, 21, 1), kp2d.dtype)], axis=2)
         K_inv = jnp.linalg.inv(K)

@@ -70,8 +70,8 @@ def test_grayscale_matches_cv2_quirk():
     np.testing.assert_allclose(got, want, atol=1.0)
 
 
-def geometry_flags():
-    return AugmentFlags(crop=True, resize=True, rotate=True)
+def geometry_flags(rotate=True):
+    return AugmentFlags(crop=True, resize=True, rotate=rotate)
 
 
 def test_device_augment_shapes_and_params():
@@ -243,3 +243,59 @@ def test_device_vs_host_pipeline_statistics():
     np.testing.assert_allclose(
         dev.std(axis=(0, 1, 2)), host_out.std(axis=(0, 1, 2)), atol=0.3
     )
+
+
+def test_device_augment_geometry_matches_host_at_edge_overflow():
+    """Crop boxes that overflow the right/bottom image edge: the
+    reference slice truncates and the resize stretches per-axis
+    (augment_cv2 crop+resize); the device warp must use the same clipped
+    extents. A uniform out/side scale diverges by tens of pixels here."""
+    rng = np.random.default_rng(9)
+    yy, xx = np.mgrid[0:224, 0:224].astype(np.float32)
+    img = np.stack(
+        [xx, yy, 128 + 100 * np.sin(xx / 20) * np.cos(yy / 25)], axis=-1
+    )
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    # hand near the bottom-right corner: side exceeds the distance to
+    # the border, so the reference crop is truncated and non-square
+    joints = rng.uniform(150, 215, (21, 3)).astype(np.float32)
+
+    host = HostAugmenter(geometry_flags(rotate=False), AugmentParams())
+    h_img, h_joints, _, applied = host.transform(
+        img, joints, np.random.default_rng(0), override_jitter=[3, 5],
+    )
+
+    from simhand_tpu.core.geometry import (
+        apply_affine_2d,
+        crop_box_from_joints,
+    )
+    from simhand_tpu.data.augment import affine_warp
+
+    j = jnp.asarray(joints)[None]
+    origin, side, rec = crop_box_from_joints(
+        j[..., :2], 1.25, jnp.asarray([[3.0, 5.0]])
+    )
+    side = jnp.maximum(side, 1.0)
+    w_c = jnp.maximum(jnp.minimum(origin[:, 0] + side, 224) - origin[:, 0], 1.0)
+    h_c = jnp.maximum(jnp.minimum(origin[:, 1] + side, 224) - origin[:, 1], 1.0)
+    assert float(w_c[0]) < float(side[0]) or float(h_c[0]) < float(side[0]), (
+        "fixture must actually overflow the edge"
+    )
+    scale_xy = jnp.stack([128.0 / w_c, 128.0 / h_c], axis=1)
+    eye = jnp.broadcast_to(jnp.eye(2, 3), (1, 2, 3))
+    mats = eye.at[:, 0, 2].add(-origin[:, 0]).at[:, 1, 2].add(-origin[:, 1])
+    mats = mats * scale_xy[:, :, None]
+    d_img = np.asarray(
+        affine_warp(jnp.asarray(img[None], jnp.float32), mats, (128, 128))
+    )[0]
+    d_joints = np.asarray(apply_affine_2d(j[..., :2], mats))[0]
+
+    np.testing.assert_allclose(d_joints, h_joints[:, :2], atol=1.5)
+    diff = np.abs(d_img - h_img.astype(np.float32))[16:-16, 16:-16]
+    assert np.median(diff) < 12.0
+
+    # discriminative: the old uniform scale is NOT within tolerance
+    uni = eye.at[:, 0, 2].add(-origin[:, 0]).at[:, 1, 2].add(-origin[:, 1])
+    uni = uni * (128.0 / side)[:, None, None]
+    u_joints = np.asarray(apply_affine_2d(j[..., :2], uni))[0]
+    assert np.abs(u_joints - h_joints[:, :2]).max() > 5.0

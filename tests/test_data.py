@@ -315,12 +315,13 @@ def test_freihand_pretrain_source(tmp_path):
     src = FreihandPretrainSource(str(tmp_path), "train", train_ratio=0.99)
     # train split: floor(0.99 * 6) = 5 unique, x4 replication
     assert len(src) == 5 * 4
+    first = int(src.indices[0])  # first (sorted) shuffled train id
     s0 = src[0]
     assert s0["image"].shape == (224, 224, 3)
-    np.testing.assert_allclose(s0["K"], K[0], atol=1e-5)
+    np.testing.assert_allclose(s0["K"], K[first], atol=1e-5)
     jm = JointMap()
     np.testing.assert_allclose(
-        s0["joints3D"], jm.freihand_to_ait(xyz[0].astype(np.float32)),
+        s0["joints3D"], jm.freihand_to_ait(xyz[first].astype(np.float32)),
         atol=1e-6,
     )
     # replicas share the original's labels
@@ -330,6 +331,23 @@ def test_freihand_pretrain_source(tmp_path):
 
     val = FreihandPretrainSource(str(tmp_path), "val", train_ratio=0.99)
     assert len(val) == 1 * 4  # the held-out unique sample, x4
+    # train/val partition the unique ids, no overlap
+    tr_ids = set(src.indices[:5].tolist())
+    va_ids = set(val.indices[:1].tolist())
+    assert not (tr_ids & va_ids) and len(tr_ids | va_ids) == 6
+
+    # seeded-shuffle membership replicates sklearn.train_test_split
+    # (freihand_loader.py:55-59, random_state=seed) exactly
+    try:
+        from sklearn.model_selection import train_test_split
+    except ImportError:
+        pass
+    else:
+        tr_ref, va_ref = train_test_split(
+            np.arange(n), train_size=0.99, random_state=5
+        )
+        assert tr_ids == set(np.sort(tr_ref).tolist())
+        assert va_ids == set(np.sort(va_ref).tolist())
 
 
 def test_downstream_eval_cli(tmp_path, capsys):
@@ -380,9 +398,23 @@ def test_youtube_source(tmp_path):
     want_mano = np.concatenate(
         [reg @ verts.astype(np.float32), verts[list(TIP_VERTEX_IDS)]], axis=0
     )
-    np.testing.assert_allclose(
-        s["joints3D"], jm.mano_to_ait(want_mano), atol=1e-5)
+    want = jm.mano_to_ait(want_mano)
+    # reference: joints_raw keeps the mesh depth, joints3D gets z := 1.0,
+    # joints_valid zeros (youtube_loader.py:160-171)
+    np.testing.assert_allclose(s["joints_raw"], want, atol=1e-5)
+    np.testing.assert_allclose(s["joints3D"][:, :2], want[:, :2], atol=1e-5)
+    np.testing.assert_array_equal(s["joints3D"][:, 2], 1.0)
+    np.testing.assert_array_equal(s["joints_valid"], 0.0)
     np.testing.assert_array_equal(s["K"], np.eye(3))
+
+    # left hands are flipped to right: image mirrored, x -> width - x
+    data["annotations"][0]["is_left"] = 1
+    with open(tmp_path / "youtube_train.json", "w") as f:
+        _json.dump(data, f)
+    sl = YoutubeSource(str(tmp_path), "train", mano_regressor=reg)[0]
+    np.testing.assert_allclose(sl["joints_raw"][:, 0], 64 - want[:, 0],
+                               atol=1e-5)
+    np.testing.assert_array_equal(sl["image"], s["image"][:, ::-1])
 
     import pytest as _pytest
     with _pytest.raises(ValueError):
@@ -419,3 +451,108 @@ def test_supervised_use_palm(tmp_path):
     )
     # 2.5D <-> 3D stays self-consistent through the palm substitution
     assert np.abs(b["joints3D_recreated"] - b["joints3D"]).max() < 1e-2
+
+
+def test_batch_iterator_propagates_worker_errors(synthetic_root):
+    """A raising sample must fail the epoch loudly (the reference's torch
+    DataLoader re-raises worker exceptions) — not deadlock the consumer."""
+    from simhand_tpu.data.pipeline import PretrainDataset, batch_iterator
+
+    src = Hand100MSource(synthetic_root, source="100doh", scale="smoke")
+    ds = PretrainDataset(src, "simclr", default_flags(), AugmentParams())
+
+    class Broken:
+        def __len__(self):
+            return len(ds)
+
+        def __getitem__(self, idx, epoch=0):
+            if idx == 3:
+                raise RuntimeError("corrupt jpeg")
+            return ds.__getitem__(idx, epoch)
+
+    with pytest.raises(RuntimeError, match="corrupt jpeg"):
+        for _ in batch_iterator(Broken(), batch_size=4, shuffle=False,
+                                num_threads=2):
+            pass
+
+
+def test_contrastive_preps_convert_camera_space_to_25d(tmp_path):
+    """simclr/peclr/_w preps must project camera-space joints to 2.5D
+    pixels via K before augmenting (reference: every prep calls
+    convert_to_2_5D) — raw meter-scale joints make the crop box empty."""
+    from simhand_tpu.data.pipeline import PretrainDataset
+    from simhand_tpu.data.sources.freihand import FreihandPretrainSource
+
+    _make_freihand_fixture(str(tmp_path), 6)
+    src = FreihandPretrainSource(str(tmp_path), "train")
+    ds = PretrainDataset(src, "simclr_w", default_flags(), AugmentParams())
+    s = ds.__getitem__(0, epoch=0)
+    assert s["transformed_image1"].shape == (128, 128, 3)
+    assert np.isfinite(s["transformed_image1"]).all()
+    # augmented joints live in output-pixel space, not meters
+    assert s["joints1_aug"][:, :2].std() > 1.0
+
+
+def test_simhand_vis_companion_default_augmenter_semantics(synthetic_root):
+    """Vis companions follow DefaultSampleAugmenter (data_set.py:741-788):
+    resize-only when the main crop flag is on (no crop — the [0,0]
+    override only fires when crop is OFF), never rotated, and
+    joints{1,2}_ori are the companion transform's outputs."""
+    import cv2 as _cv2
+
+    from simhand_tpu.data.pipeline import PretrainDataset, convert_to_2_5d_np
+
+    src = Hand100MSource(synthetic_root, source="100doh", scale="smoke")
+    flags = AugmentFlags(crop=True, resize=True, rotate=True)
+    ds = PretrainDataset(src, "simhand_vis", flags, AugmentParams(), seed=4)
+    s = ds.__getitem__(0, epoch=0)
+    # main crop ON -> companion is the PLAIN resize of the full 224 crop
+    want = _cv2.resize(src[0]["image"], (128, 128),
+                       interpolation=_cv2.INTER_AREA)
+    got = s["image1"] * np.array([0.229, 0.224, 0.225]) + \
+        np.array([0.485, 0.456, 0.406])
+    np.testing.assert_allclose(got * 255.0, want, atol=1.0)
+    # joints_ori = companion-transform joints (resize factor 128/224),
+    # not raw-scaled
+    j25 = convert_to_2_5d_np(src[0]["K"], src[0]["joints3D"])
+    np.testing.assert_allclose(
+        s["joints1_ori"][:, :2], j25[:, :2] * (128.0 / 224.0), atol=1e-4
+    )
+
+
+def test_extract_frames_manifest_formats(tmp_path):
+    """Both documented manifest layouts parse: Ego4D (header + name in
+    column 1) and 100DOH (bare id in column 0)."""
+    import cv2 as _cv2
+
+    from simhand_tpu.mining.extract_frames import main as ef_main
+
+    vdir = tmp_path / "videos"
+    vdir.mkdir()
+    rng = np.random.default_rng(0)
+    for name in ("vid-a", "vid-b"):
+        w = _cv2.VideoWriter(str(vdir / f"{name}.mp4"),
+                             _cv2.VideoWriter_fourcc(*"mp4v"), 30, (32, 32))
+        for _ in range(3):
+            w.write(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8))
+        w.release()
+
+    ego = tmp_path / "ego4d_name_list.txt"
+    ego.write_text(
+        "Number Name Size Length Width Height OFC SFC OFR SFR Time\n"
+        "0 vid-a.mp4 96188270 378.22 1440 1080 11346 378 30.0 1.0 0.22\n"
+        "1 missing-vid.mp4 1 1.0 1 1 1 1 30.0 1.0 0.0\n"
+    )
+    out1 = tmp_path / "out1"
+    ef_main(["--manifest", str(ego), "--video_dir", str(vdir),
+             "--out_dir", str(out1), "--stride", "1"])
+    assert sorted(os.listdir(out1 / "vid-a")) == [
+        f"frame_{i:06d}.jpg" for i in range(3)
+    ]
+
+    doh = tmp_path / "100doh_valid_name_list.txt"
+    doh.write_text("vid-b 0 0 1280x720 30/1\n")
+    out2 = tmp_path / "out2"
+    ef_main(["--manifest", str(doh), "--video_dir", str(vdir),
+             "--out_dir", str(out2), "--stride", "1"])
+    assert len(os.listdir(out2 / "vid-b")) == 3

@@ -194,8 +194,13 @@ def test_rn25d_head_forward():
     out = model.apply(variables, img)
     assert out["kp3d"].shape == (2, 21, 3)
     assert out["kp25d"].shape == (2, 21, 3)
-    # root's relative depth forced to zero
+    # root's relative depth forced to zero — in the kp25d output too
+    # (the reference's in-place zrel[:, 0] = 0 mutates the aliased view)
     np.testing.assert_allclose(np.asarray(out["zrel"][:, 0, 0]), 0.0)
+    np.testing.assert_allclose(np.asarray(out["kp25d"][:, 0, 2]), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(out["kp25d"][..., :2]), np.asarray(out["kp2d"])
+    )
 
 
 def test_evaluate_25d_on_perfect_predictions():

@@ -278,3 +278,57 @@ def test_sharded_pca_equals_full_batch():
     got = np.asarray(jax.jit(sharded)(joints))
     want = np.asarray(apply_pca(joints, target_dim=14))
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-3)
+
+
+def test_sharded_pairwise_minmax_covers_cross_device_pairs():
+    """The sharded statistics pass must see cross-device pairs: local
+    rows x all-gathered cols, pmin/pmax-reduced — block-diagonal-only
+    extrema silently mis-normalize the streaming weighted loss."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from simhand_tpu.losses.weights import pairwise_minmax
+
+    rng = np.random.default_rng(11)
+    joints = jnp.asarray(rng.normal(size=(32, 21, 2)), jnp.float32)
+    mesh = _mesh()
+    sharded = shard_map(
+        lambda j: jnp.stack(
+            pairwise_minmax(j, "mpjpe", chunk=8, axis_name="data")
+        ),
+        mesh=mesh,
+        in_specs=(P("data"),),
+        out_specs=P(),
+        check_vma=False,
+    )
+    got_min, got_max = np.asarray(jax.jit(sharded)(joints))
+    want_min, want_max = (
+        float(x) for x in pairwise_minmax(joints, "mpjpe", chunk=8)
+    )
+    assert got_min == pytest.approx(want_min, rel=1e-6)
+    assert got_max == pytest.approx(want_max, rel=1e-6)
+
+
+def test_torch_median_semantics():
+    """EPE/projection medians must use torch.median's lower-middle
+    element for even counts, not jnp.median's interpolation."""
+    import torch
+
+    from simhand_tpu.losses.supervised import epe_metrics, torch_median
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(4, 16)).astype(np.float32)  # even counts
+    want_flat = float(torch.median(torch.from_numpy(x)))
+    assert float(torch_median(jnp.asarray(x))) == pytest.approx(want_flat)
+    want_rows = torch.median(torch.from_numpy(x), dim=1).values.numpy()
+    np.testing.assert_allclose(
+        np.asarray(torch_median(jnp.asarray(x), axis=1)), want_rows
+    )
+
+    pred = rng.normal(size=(4, 21, 3)).astype(np.float32)
+    true = rng.normal(size=(4, 21, 3)).astype(np.float32)
+    d = torch.linalg.norm(torch.from_numpy(pred - true), dim=-1)
+    m = epe_metrics(jnp.asarray(pred), jnp.asarray(true))
+    assert float(m["EPE_median_train"]) == pytest.approx(
+        float(torch.median(d)), rel=1e-6
+    )

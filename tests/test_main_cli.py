@@ -106,3 +106,20 @@ def test_simhand_vis_dumps_iteration_npy(tmp_path, monkeypatch):
     dump = np.load(os.path.join(vis_dir, files[0]), allow_pickle=True).item()
     assert "transformed_image1" in dump and "transformed_image2" in dump
     assert dump["transformed_image1"].shape[0] == 8  # batch
+
+
+def test_prepare_name_reference_layout():
+    """Experiment names are byte-identical to the reference's
+    (utils.py:404-462): {prefix}{batch_size}{sorted UPPERCASE codes}."""
+    from simhand_tpu.experiments.config import prepare_name
+
+    tp = {
+        "batch_size": 8192,
+        "augmentation_flags": {
+            "crop": True, "color_jitter": True, "resize": True,
+            "rotate": True, "color_drop": False, "flip": False,
+        },
+    }
+    assert prepare_name("simhand_w_", tp) == "simhand_w_8192C_CJ_Re_Ro"
+    tp["augmentation_flags"]["flip"] = True
+    assert prepare_name("simclr_", tp) == "simclr_8192C_CJ_F_Re_Ro"

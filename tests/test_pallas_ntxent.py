@@ -347,3 +347,39 @@ def test_sharded_use_pallas_weighted_step_matches_xla():
                        mesh=mesh)(state, batch)["contrastive_loss"]
     )
     assert got == pytest.approx(want, rel=1e-4)
+
+
+def test_sharded_use_pallas_falls_back_when_global_tile_indivisible():
+    """A mesh size that satisfies the local row tile but not the plain
+    kernel's global column tile (n_global % 512 != 0) must fall back to
+    the XLA path at trace time instead of tripping the kernel assert —
+    e.g. a 1-device debug mesh with 2B_local = 256."""
+    import jax
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from simhand_tpu.losses import nt_xent
+    from simhand_tpu.models.contrastive import (
+        ContrastiveConfig,
+        contrastive_loss_from_projections,
+    )
+
+    rng = np.random.default_rng(17)
+    B = 128  # n_rows = 256: % 256 ok, but global 256 % 512 != 0
+    proj = jnp.asarray(rng.normal(size=(2 * B, 128)), jnp.float32)
+    batch = {}
+    cfg = ContrastiveConfig(experiment_type="simclr", augmentation=(),
+                            use_pallas=True)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    sharded = shard_map(
+        lambda p: contrastive_loss_from_projections(
+            p, batch, cfg, axis_name="data")[0],
+        mesh=mesh,
+        in_specs=(P("data"),),
+        out_specs=P(),
+        check_vma=False,
+    )
+    got = float(jax.jit(sharded)(proj))
+    z = proj / jnp.linalg.norm(proj, axis=-1, keepdims=True)
+    want = float(nt_xent(z[:B], z[B:]))
+    assert got == pytest.approx(want, rel=1e-5)

@@ -236,9 +236,11 @@ def test_projection_stats_metrics_logged_for_equivariant():
     np.testing.assert_allclose(
         float(s["proj2y_max"]), pts[4:, :, 1].max(axis=1).mean(), rtol=1e-5
     )
+    # median: torch.median lower-middle semantics (64 points is even),
+    # not np.median's interpolation — matches the reference's torch logs
     np.testing.assert_allclose(
         float(s["proj1y_median"]),
-        np.median(pts[:4, :, 1], axis=1).mean(), rtol=1e-5,
+        np.sort(pts[:4, :, 1], axis=1)[:, (64 - 1) // 2].mean(), rtol=1e-5,
     )
 
 

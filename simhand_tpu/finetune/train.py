@@ -150,6 +150,14 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=120)
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr_strategy", default="ULR", choices=["ULR", "DLR"],
+                   help="reference utils/optimizer.py: ULR = uniform lr; "
+                        "DLR = differential rates (--lr for the "
+                        "pretrained encoder, --lr_head for the fresh "
+                        "deconv/map heads)")
+    p.add_argument("--lr_head", type=float, default=1e-3,
+                   help="head lr under --lr_strategy DLR (lr[1] in the "
+                        "reference's param groups)")
     p.add_argument("--lr_decay_step", type=int, default=50)
     p.add_argument("--lr_decay_gamma", type=float, default=0.1)
     p.add_argument("--max_steps", type=int, default=None)
@@ -229,11 +237,30 @@ def main(argv=None):
         logger.info("initialized encoder from %s", args.pretrain)
 
     steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
-    schedule = optax.exponential_decay(
-        args.lr, args.lr_decay_step * steps_per_epoch,
-        args.lr_decay_gamma, staircase=True,
-    )
-    tx = optax.adam(schedule)
+
+    def make_schedule(base_lr):
+        return optax.exponential_decay(
+            base_lr, args.lr_decay_step * steps_per_epoch,
+            args.lr_decay_gamma, staircase=True,
+        )
+
+    if args.lr_strategy == "DLR":
+        # differential rates per the reference's DLR param groups
+        # (utils/optimizer.py:33-48): pretrained encoder at --lr, fresh
+        # heads at --lr_head
+        labels = {
+            k: jax.tree.map(
+                lambda _: "encoder" if k == "encoder" else "head", v
+            )
+            for k, v in params.items()
+        }
+        tx = optax.multi_transform(
+            {"encoder": optax.adam(make_schedule(args.lr)),
+             "head": optax.adam(make_schedule(args.lr_head))},
+            labels,
+        )
+    else:
+        tx = optax.adam(make_schedule(args.lr))
     state = TrainState.create(
         apply_fn=model.apply, params=params, tx=tx, batch_stats=batch_stats
     )

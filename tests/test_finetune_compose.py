@@ -243,3 +243,37 @@ def test_photometric_augment_semantics():
     o1 = val(ds[0], np.random.default_rng(1))
     o2 = val(ds[0], np.random.default_rng(2))
     np.testing.assert_array_equal(o1["img"], o2["img"])
+
+
+def test_train_cli_dlr_differential_rates(tmp_path):
+    """--lr_strategy DLR (reference utils/optimizer.py param groups):
+    encoder and heads get separate rates. With encoder lr 0 the encoder
+    stays at init while the heads move."""
+    import jax
+    import jax.numpy as jnp
+
+    from simhand_tpu.finetune.detnet import DetNet
+    from simhand_tpu.finetune.train import main as train_main
+
+    state = train_main([
+        "--dataset", "synthetic", "--backbone", "18",
+        "--epochs", "1", "--batch_size", "8", "--max_steps", "1",
+        "--eval_every", "5", "--out_dir", str(tmp_path / "out"),
+        "--lr_strategy", "DLR", "--lr", "0.0", "--lr_head", "1e-3",
+    ])
+    init = DetNet(resnet_size="18", dtype=jnp.bfloat16).init(
+        jax.random.key(0), jnp.zeros((1, 128, 128, 3))
+    )["params"]
+    enc_same = jax.tree.map(
+        lambda a, b: bool(np.array_equal(np.asarray(a), np.asarray(b))),
+        state.params["encoder"], init["encoder"],
+    )
+    assert all(jax.tree.leaves(enc_same))
+    head_keys = [k for k in state.params if k != "encoder"]
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for k in head_keys
+        for a, b in zip(jax.tree.leaves(state.params[k]),
+                        jax.tree.leaves(init[k]))
+    )
+    assert moved

@@ -245,6 +245,7 @@ def test_photometric_augment_semantics():
     np.testing.assert_array_equal(o1["img"], o2["img"])
 
 
+@pytest.mark.slow
 def test_train_cli_dlr_differential_rates(tmp_path):
     """--lr_strategy DLR (reference utils/optimizer.py param groups):
     encoder and heads get separate rates. With encoder lr 0 the encoder

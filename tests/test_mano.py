@@ -260,6 +260,7 @@ def test_demo_cli_on_synthetic_video(mano, monkeypatch, tmp_path):
     assert frame[:, 120:].any()  # the mesh panel is drawn
 
 
+@pytest.mark.slow
 def test_demo_cli_shape_net_route(mano, monkeypatch, tmp_path):
     """--shape_net switches the demo to the demo_dl.py route: per-frame
     ShapeNet shape regression (One-Euro smoothed) instead of the one-shot

@@ -47,7 +47,7 @@ class EvalUtil:
         pck_curve_all, thresholds) — zimeval.py:90-139 contract."""
         d, vis = self._stacked()
         thresholds = np.linspace(val_min, val_max, steps)
-        norm = np.trapz(np.ones_like(thresholds), thresholds)
+        norm = np.trapezoid(np.ones_like(thresholds), thresholds)
 
         epe_mean_joint, epe_median, aucs, pcks = [], [], [], []
         for k in range(self.num_kp):
@@ -58,7 +58,7 @@ class EvalUtil:
             epe_median.append(np.median(dk))
             curve = np.stack([(dk <= t).mean() for t in thresholds])
             pcks.append(curve)
-            aucs.append(np.trapz(curve, thresholds) / norm)
+            aucs.append(np.trapezoid(curve, thresholds) / norm)
         return (
             float(np.mean(epe_mean_joint)),
             epe_mean_joint,
@@ -99,8 +99,8 @@ def pck_curve(
 def auc_joints(dists: np.ndarray, per_joint: bool = True):
     """AUC of the 0..0.5/0.005 PCK curve (evaluation_utils.py:273-301)."""
     curves, thresholds = pck_curve(dists, 0.0, 0.5, 0.005, per_joint=True)
-    norm = np.trapz(np.ones(len(thresholds)), thresholds)
-    auc = np.trapz(curves, thresholds, axis=-1) / norm
+    norm = np.trapezoid(np.ones(len(thresholds)), thresholds)
+    auc = np.trapezoid(curves, thresholds, axis=-1) / norm
     return auc if per_joint else float(auc.mean())
 
 

@@ -45,8 +45,11 @@ def adaptive_ik(template: np.ndarray, target: np.ndarray) -> np.ndarray:
     """Pose parameters from a template skeleton and predicted joints.
 
     Args:
-      template: (21, 3) rest-pose joints (MANO 21-joint order: 16 skeleton
-        + 5 tips), e.g. from ManoModel with zero pose/shape.
+      template: (21, 3) rest-pose joints in FREIHAND/SNAP order (wrist,
+        then thumb..pinky mcp/pip/dip/tip) — the order SNAP_PARENT /
+        KINEMATIC_TREE / ID2ROT / the mcp list index into (the reference
+        feeds manopth joints, which manolayer reorders to snap). A
+        MANO-native-ordered input scrambles the kinematic chain.
       target: (21, 3) predicted joints, same order/scale-normalization.
 
     Returns:

@@ -32,19 +32,79 @@ from simhand_tpu.core.joints import JointMap
 _JM = JointMap()
 
 
+# official RHD joint order: palm, then each finger TIP->MCP; the gather
+# below is its own inverse (palm + per-finger reversal), matching the
+# reference's rhd_to_snap_id (rhd.py:31, config.py:28-50)
+RHD_TO_SNAP = [0, 4, 3, 2, 1, 8, 7, 6, 5, 12, 11, 10, 9,
+               16, 15, 14, 13, 20, 19, 18, 17]
+
+
 class RHD:
-    """Rendered Handpose Dataset via the reference's repackaged pickles
-    (minimal-hand/datasets/rhd.py:91-99)."""
+    """Rendered Handpose Dataset.
+
+    Accepts BOTH on-disk layouts: the official RHD_published_v2
+    ``anno_{training,evaluation}.pickle`` of per-frame dicts
+    (``uv_vis`` (42,3) / ``xyz`` (42,3) / ``K`` — both hands stacked,
+    reference rhd.py:131-196: pick the majority-visible side, reorder
+    rhd->snap), and the reference's repackaged cache dict
+    (clr_paths/joints/kp2ds/intrs, rhd.py:91-99). The mask-based crop
+    scale (get_ori_crop_scale with the side's segmentation ids) is
+    computed lazily per sample when mask/ exists."""
 
     def __init__(self, root_dir: str, split: str = "train"):
         name = {"train": "training", "val": "evaluation", "test": "evaluation"}[split]
         with open(os.path.join(root_dir, name, f"anno_{name}.pickle"), "rb") as f:
             a = pickle.load(f)
         self.root = os.path.join(root_dir, name)
-        self.clr_paths = a["clr_paths"]
-        self.joints = a["joints"]      # list of (21, 3), meters
-        self.kp2ds = a["kp2ds"]
-        self.intrs = a["intrs"]
+        if isinstance(a, dict) and "clr_paths" in a:
+            self.clr_paths = a["clr_paths"]
+            self.joints = a["joints"]      # list of (21, 3), meters
+            self.kp2ds = a["kp2ds"]
+            self.intrs = a["intrs"]
+            self.sides = a.get("sides")
+            self.centers = a.get("centers")
+            self.my_scales = a.get("my_scales")
+            return
+        # official per-frame layout
+        self.clr_paths, self.joints, self.kp2ds = [], [], []
+        self.intrs, self.sides = [], []
+        self.centers, self.my_scales = [], None  # scales lazy (mask IO)
+        for i in range(len(a)):
+            raw = a[i]
+            uv_vis = np.asarray(raw["uv_vis"], np.float32)
+            xyz = np.asarray(raw["xyz"], np.float32)
+            l_cnt = int((uv_vis[:21, 2] == 1).sum())
+            r_cnt = int((uv_vis[21:, 2] == 1).sum())
+            lo = 0 if l_cnt > r_cnt else 21
+            kp2d = uv_vis[lo : lo + 21, :2][RHD_TO_SNAP]
+            self.clr_paths.append(os.path.join("color", f"{i:05d}.png"))
+            self.sides.append("l" if lo == 0 else "r")
+            self.joints.append(xyz[lo : lo + 21][RHD_TO_SNAP])
+            self.kp2ds.append(kp2d)
+            self.intrs.append(np.asarray(raw["K"], np.float32))
+            self.centers.append(np.array(
+                [int((kp2d[:, 0].min() + kp2d[:, 0].max()) / 2),
+                 int((kp2d[:, 1].min() + kp2d[:, 1].max()) / 2)], np.float32))
+
+    def _mask_scale(self, i: int, kp2d: np.ndarray) -> np.float32:
+        """get_ori_crop_scale: max(mask extent, kp2d extent) * 2.0
+        (handutils.py:275-291; mask ids 2-17 left / 18-33 right)."""
+        kp_scale = float(np.max(kp2d.max(axis=0) - kp2d.min(axis=0)))
+        scale = kp_scale
+        if self.sides is not None:
+            mask_path = os.path.join(
+                self.root, "mask", os.path.basename(self.clr_paths[i])
+            )
+            if os.path.exists(mask_path):
+                import cv2
+
+                mask = cv2.imread(mask_path, cv2.IMREAD_GRAYSCALE)
+                ids = (2, 17) if self.sides[i] == "l" else (18, 33)
+                seg = np.argwhere((mask >= ids[0]) & (mask <= ids[1]))
+                if len(seg):
+                    ext = (seg.max(axis=0) - seg.min(axis=0) + 1).max()
+                    scale = max(float(ext), kp_scale)
+        return np.float32(scale * 2.0)
 
     def __len__(self):
         return len(self.clr_paths)
@@ -56,12 +116,20 @@ class RHD:
             cv2.imread(os.path.join(self.root, self.clr_paths[i])),
             cv2.COLOR_BGR2RGB,
         )
-        return {
+        kp2d = np.asarray(self.kp2ds[i], np.float32).reshape(21, 2)
+        out = {
             "image": img,
-            "K": np.asarray(self.intrs[i], np.float32),
-            "joint": np.asarray(self.joints[i], np.float32),
-            "kp2d": np.asarray(self.kp2ds[i], np.float32),
+            "K": np.asarray(self.intrs[i], np.float32).reshape(3, 3),
+            "joint": np.asarray(self.joints[i], np.float32).reshape(21, 3),
+            "kp2d": kp2d,
         }
+        if self.centers is not None:
+            out["center"] = np.asarray(self.centers[i], np.float32).reshape(2)
+        if self.my_scales is not None:
+            out["my_scale"] = np.float32(np.asarray(self.my_scales[i]).ravel()[0])
+        elif self.sides is not None:
+            out["my_scale"] = self._mask_scale(i, kp2d)
+        return out
 
 
 class DexYCB:
@@ -91,12 +159,16 @@ class DexYCB:
             raise ValueError(setup)
         return subj, serial
 
-    def __init__(self, root_dir: str, split: str = "train", setup: str = "s1"):
+    WIDTH, HEIGHT = 640, 480
+    N_VALID_KEYPOINTS = 10          # reference datasets/__init__.py:1
+
+    def __init__(self, root_dir: str, split: str = "train", setup: str = "s1",
+                 filter_invalid: bool = True):
         import yaml
 
         self.root = root_dir
         subj_ind, serial_ind = self.split_indices(split, setup)
-        self.samples: list[tuple[str, str, int]] = []
+        self.samples: list[tuple[str, str, int, str]] = []
         self.intr: dict[str, np.ndarray] = {}
         serials = []
         for si in subj_ind:
@@ -111,6 +183,7 @@ class DexYCB:
                 with open(meta_path) as f:
                     meta = yaml.safe_load(f)
                 all_serials = meta["serials"]
+                side = (meta.get("mano_sides") or ["right"])[0]
                 for k in serial_ind:
                     if k >= len(all_serials):
                         continue
@@ -118,8 +191,29 @@ class DexYCB:
                     cam_dir = os.path.join(seq_dir, serial)
                     n = meta["num_frames"]
                     for fr in range(n):
-                        self.samples.append((cam_dir, serial, fr))
+                        self.samples.append((cam_dir, serial, fr, side))
                     serials.append(serial)
+        if filter_invalid:
+            # reference frame filter (dexycb.py:282-293): drop frames
+            # with <10 visible joints or an invisible ref-bone endpoint
+            keep = []
+            for s in self.samples:
+                kp2d, j3d = self._load_labels(s[0], s[2])
+                vis = self._visibility(kp2d, j3d)
+                if vis.sum() >= self.N_VALID_KEYPOINTS and vis[0] and vis[9]:
+                    keep.append(s)
+            self.samples = keep
+
+    def _load_labels(self, cam_dir: str, fr: int):
+        labels = np.load(os.path.join(cam_dir, f"labels_{fr:06d}.npz"))
+        return (labels["joint_2d"].reshape(21, 2).astype(np.float32),
+                labels["joint_3d"].reshape(21, 3).astype(np.float32))
+
+    def _visibility(self, kp2d: np.ndarray, j3d: np.ndarray) -> np.ndarray:
+        # reference dexycb.py:438
+        return ((kp2d[:, 0] != -1) & (kp2d.min(axis=1) > 0)
+                & (kp2d[:, 0] <= self.WIDTH) & (kp2d[:, 1] <= self.HEIGHT)
+                & (j3d[:, 0] != -1))
 
     def _intrinsics(self, serial: str) -> np.ndarray:
         if serial not in self.intr:
@@ -142,22 +236,35 @@ class DexYCB:
     def __getitem__(self, i: int) -> dict:
         import cv2
 
-        cam_dir, serial, fr = self.samples[i]
+        cam_dir, serial, fr, side = self.samples[i]
         img = cv2.cvtColor(
             cv2.imread(os.path.join(cam_dir, f"color_{fr:06d}.jpg")),
             cv2.COLOR_BGR2RGB,
         )
-        labels = np.load(os.path.join(cam_dir, f"labels_{fr:06d}.npz"))
-        joint = labels["joint_3d"].reshape(21, 3).astype(np.float32)
-        kp2d = labels["joint_2d"].reshape(21, 2).astype(np.float32)
+        kp2d, joint = self._load_labels(cam_dir, fr)
         # DexYCB labels are already wrist-first freihand order
         # (dex-ycb-toolkit MANO joint list; the reference reader keeps it,
-        # minimal-hand/datasets/dexycb.py:436) — emit as-is.
+        # minimal-hand/datasets/dexycb.py:436).
+        if side != "right":
+            # left hands mirrored to right (reference dexycb.py:469-477)
+            img = np.ascontiguousarray(img[:, ::-1])
+            kp2d[:, 0] = self.WIDTH - kp2d[:, 0]
+            joint[:, 0] *= -1
+        vis = self._visibility(kp2d, joint)
+        center = np.array([int((kp2d[:, 0].min() + kp2d[:, 0].max()) / 2),
+                           int((kp2d[:, 1].min() + kp2d[:, 1].max()) / 2)],
+                          np.float32)
+        my_scale = 1.75 * float(
+            np.max(kp2d.max(axis=0) - kp2d.min(axis=0))
+        )  # reference dexycb.py:482 (scale_factor=1.75)
         return {
             "image": img,
             "K": self._intrinsics(serial),
             "joint": joint,
             "kp2d": kp2d,
+            "vis": vis.astype(np.float32),
+            "center": center,
+            "my_scale": np.float32(my_scale),
         }
 
 
@@ -367,16 +474,16 @@ def _rodrigues_quat(rot_vec: np.ndarray) -> np.ndarray:
     v = np.asarray(rot_vec) * np.sin(theta / 2.0) / theta
     a, (b, c, d) = np.cos(theta / 2.0), -v
     return np.array([
-        [a * a + b * b - c * c - d * d, 2 * (b * c - a * d), 2 * (b * d + a * c)],
-        [2 * (b * c + a * d), a * a + c * c - b * b - d * d, 2 * (c * d - a * b)],
-        [2 * (b * d - a * c), 2 * (c * d + a * b), a * a + d * d - b * b - c * c],
+        [a * a + b * b - c * c - d * d, 2 * (b * c + a * d), 2 * (b * d - a * c)],
+        [2 * (b * c - a * d), a * a + c * c - b * b - d * d, 2 * (c * d + a * b)],
+        [2 * (b * d + a * c), 2 * (c * d - a * b), a * a + d * d - b * b - c * c],
     ])
 
 
 class STB:
     """Stereo Hand Pose Tracking Benchmark, SK color camera only
     (reference: minimal-hand/datasets/stb.py). Palm annotation is moved to
-    the wrist via the 2.2x mid-mcp extrapolation (ge_palm2wrist)."""
+    the wrist via the 2.0x ring-mcp extrapolation (ge_palm2wrist)."""
 
     def __init__(self, root_dir: str, split: str = "train"):
         import scipy.io as sio
@@ -393,8 +500,9 @@ class STB:
             snap = np.zeros_like(xyz)
             snap[:, STB_TO_SNAP, :] = xyz
             snap /= 1000.0
-            # palm -> wrist (ge_palm2wrist, stb.py:115-122)
-            snap[:, 0] = snap[:, 9] + 2.2 * (snap[:, 0] - snap[:, 9])
+            # palm -> wrist: the ACTIVE reference path is ge_palm2wrist
+            # (stb.py:125-131, selected at :270): ring_mcp + 2.0x
+            snap[:, 0] = snap[:, 13] + 2.0 * (snap[:, 0] - snap[:, 13])
             joints_all.append(snap.astype(np.float32))
             for i in range(raw.shape[0]):
                 self.img_paths.append(
@@ -508,6 +616,21 @@ class GANeratedHands:
 FINGERTIP_IDS = [4, 8, 12, 16, 20]
 
 
+def _tip_center_scale(tips: np.ndarray) -> dict:
+    """Crop box from the VALID fingertips only (the reference derives
+    DO/EO center/my_scale from 5 tip points, dexter_object.py:157-165) —
+    a 21-row extent over zero-filled rows would span from the image
+    origin instead of around the hand."""
+    valid = tips[(tips != 0).any(axis=1)]
+    if len(valid) == 0:
+        return {}
+    center = np.array([int((valid[:, 0].min() + valid[:, 0].max()) / 2),
+                       int((valid[:, 1].min() + valid[:, 1].max()) / 2)],
+                      np.float32)
+    scale = 2.0 * float(np.max(valid.max(axis=0) - valid.min(axis=0)))
+    return {"center": center, "my_scale": np.float32(max(scale, 1.0))}
+
+
 class DexterObject:
     """Dexter+Object: fingertip-only 2D/3D annotations
     (reference: datasets/dexter_object.py). Emits 21-joint arrays with
@@ -544,7 +667,7 @@ class DexterObject:
         kp2d = np.zeros((21, 2), np.float32)
         kp2d[FINGERTIP_IDS] = tips
         return {"image": img, "K": None, "joint": None, "kp2d": kp2d,
-                "tip_only": True}
+                "tip_only": True, **_tip_center_scale(tips)}
 
 
 class EgoDexter:
@@ -586,4 +709,4 @@ class EgoDexter:
         kp2d = np.zeros((21, 2), np.float32)
         kp2d[FINGERTIP_IDS] = tips
         return {"image": img, "K": None, "joint": None, "kp2d": kp2d,
-                "tip_only": True}
+                "tip_only": True, **_tip_center_scale(tips)}

@@ -285,7 +285,7 @@ class DetnetSampleBuilder:
         center_jitter: float = 0.1,
         scale_jitter: float = 0.1,
         max_rot: float = np.pi,
-        crop_scale: float = 2.2,
+        crop_scale: float = 2.0,
         color_jitter: bool = True,
     ):
         self.train = train
@@ -300,8 +300,24 @@ class DetnetSampleBuilder:
 
     def __call__(self, sample: dict, rng: np.random.Generator) -> dict:
         kp2d = sample["kp2d"]
-        center = 0.5 * (kp2d.min(axis=0) + kp2d.max(axis=0))
-        scale = self.crop_scale * np.max(kp2d.max(axis=0) - kp2d.min(axis=0))
+        # per-dataset center/my_scale win when the reader provides them
+        # (the reference HandDataset consumes sample['center'] /
+        # sample['my_scale'], handataset.py:254-255 — e.g. DexYCB's 1.75
+        # factor, RHD's mask-based scale, DO/EO's tip-derived box);
+        # fallback: reference get_annot_center / get_annot_scale
+        # (handutils.py:191-205,293-301: kp2d extent, factor 2.0)
+        if sample.get("center") is not None:
+            center = np.asarray(sample["center"], np.float64)
+        else:
+            center = np.trunc(
+                0.5 * (kp2d.min(axis=0) + kp2d.max(axis=0))
+            )
+        if sample.get("my_scale") is not None:
+            scale = float(sample["my_scale"])
+        else:
+            scale = self.crop_scale * np.max(
+                kp2d.max(axis=0) - kp2d.min(axis=0)
+            )
 
         if self.train:
             center = center + (
@@ -324,6 +340,12 @@ class DetnetSampleBuilder:
 
         hm, veil = gen_heatmaps(kp2d_t, self.inp_res, self.hm_res, self.sigma)
 
+        # raw-annotation validity (pre-transform: zero-filled tip-only
+        # rows / DexYCB vis) — the affine moves raw zeros off zero, so
+        # consumers can't reconstruct this from the transformed kp2d
+        valid = sample.get("vis")
+        if valid is None:
+            valid = (kp2d != 0).any(axis=-1)
         out = {
             "hm": hm,
             "hm_veil": veil,
@@ -331,6 +353,7 @@ class DetnetSampleBuilder:
             "dm": np.zeros((self.hm_res, self.hm_res, 21, 3), np.float32),
             "lm": np.zeros((self.hm_res, self.hm_res, 21, 3), np.float32),
             "kp2d": kp2d_t.astype(np.float32),
+            "kp2d_valid": np.asarray(valid, np.float32),
         }
         if "joint" in sample and sample["joint"] is not None:
             joint = rot_mat[:3, :3].dot(sample["joint"].T).T

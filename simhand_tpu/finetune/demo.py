@@ -132,8 +132,12 @@ def main(argv=None):
         n += 1
         h, w = frame.shape[:2]
         side = min(h, w)
-        crop = frame[:side, :side]
-        inp = cv2.resize(crop, (128, 128)).astype(np.float32) / 255.0 - 0.5
+        # center square crop; model input is RGB (training images are
+        # RGB — the reference demo flips cv2's BGR channels, demo.py:71)
+        y0, x0 = (h - side) // 2, (w - side) // 2
+        crop = frame[y0 : y0 + side, x0 : x0 + side]
+        rgb = cv2.cvtColor(crop, cv2.COLOR_BGR2RGB)
+        inp = cv2.resize(rgb, (128, 128)).astype(np.float32) / 255.0 - 0.5
         preds = apply(jnp.asarray(inp[None]))
         xyz = smoother.process(np.asarray(preds["xyz"])[0])
         uv = np.asarray(preds["uv"])[0][:, ::-1] * (side / 32.0)  # (col,row)

@@ -72,7 +72,9 @@ def evaluate_dataset(model, state, dataset, key: str, batch_size: int = 64,
 
                 mask = np.zeros_like(vis)
                 mask[:, FINGERTIP_IDS] = vis[:, FINGERTIP_IDS]
-                vis = mask & (gt != 0).any(axis=-1)
+                # raw-annotation validity from the builder: zero-filled
+                # rows are no longer zero after the affine transform
+                vis = mask & np.asarray(batch["kp2d_valid"], bool)
             px_eval.feed(gt, uv, vis)
         else:
             xyz = np.asarray(preds["xyz"], np.float64)      # normalized

@@ -141,7 +141,7 @@ def procrustes_align(X: Array, Y: Array):
 
 
 def align_by_root_and_scale(
-    pred: np.ndarray, gt: np.ndarray, root_idx: int = 9,
+    pred: np.ndarray, gt: np.ndarray, root_idx: int = 0,
     ref_bone=(9, 10),
 ) -> np.ndarray:
     """Global alignment used by minimal-hand eval (utils/align.py): shift

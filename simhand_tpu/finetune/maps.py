@@ -21,7 +21,10 @@ SNAP_PARENT = [
 ]
 # reference bone: wrist (0) -> middle_mcp (9), freihand/minimal-hand order
 REF_BONE_LINK = (0, 9)
-JOINT_ROOT_IDX = 9
+# location/delta maps and the eval alignment are rooted at the WRIST
+# (reference handataset.py:81 joint_root_idx = 0, align.py:13 root_idx=0;
+# middle_mcp (9) is only the CENTER_ID / ref-bone endpoint)
+JOINT_ROOT_IDX = 0
 
 
 def gen_heatmap(img: np.ndarray, pt, sigma: float = 1.0):

@@ -34,11 +34,12 @@ def reconstruct(
         scale-equivariant through the template normalization.
       beta: optional precomputed MANO shape; fitted via PSO if absent.
     """
-    joints_mano = _JM.freihand_to_mano(joints_fh)
+    joints_fh = np.asarray(joints_fh, np.float64)
 
     if beta is None:
         if rel_bones is None:
             # relative bone lengths from the prediction itself
+            joints_mano = _JM.freihand_to_mano(joints_fh)
             parent = [0, 0, 1, 2, 0, 4, 5, 0, 7, 8, 0, 10, 11, 0, 13, 14]
             j16 = joints_mano[:16]
             rel = j16 - j16[parent]
@@ -49,13 +50,18 @@ def reconstruct(
         beta = pso_fit_shape(mano, rel_bones, n_particles=60, n_iters=20)
 
     beta_j = jnp.asarray(beta, jnp.float32)[None]
-    _, template = mano(jnp.broadcast_to(jnp.eye(3), (1, 16, 3, 3)), beta_j)
-    template = np.asarray(template[0])
+    _, template21 = mano(jnp.broadcast_to(jnp.eye(3), (1, 16, 3, 3)), beta_j)
+    # the IK runs entirely in freihand/snap order: aik.py's SNAP_PARENT/
+    # KINEMATIC_TREE/ID2ROT/mcp tables are snap-ordered (the reference
+    # feeds manopth joints, which manolayer emits in snap order) —
+    # MANO-native ordering scrambles the chain (~30x worse recon error)
+    template = _JM.mano_to_freihand(np.asarray(template21[0]))
 
-    # scale-match prediction to the template skeleton
-    ref_pred = np.linalg.norm(joints_mano[4] - joints_mano[0]) + 1e-9
-    ref_temp = np.linalg.norm(template[4] - template[0])
-    target = (joints_mano - joints_mano[0]) * (ref_temp / ref_pred) + template[0]
+    # scale-match prediction to the template skeleton (ref bone: wrist ->
+    # middle_mcp, snap indices 0/9)
+    ref_pred = np.linalg.norm(joints_fh[9] - joints_fh[0]) + 1e-9
+    ref_temp = np.linalg.norm(template[9] - template[0])
+    target = (joints_fh - joints_fh[0]) * (ref_temp / ref_pred) + template[0]
 
     pose_R = adaptive_ik(template, target)
     verts, joints21 = mano(jnp.asarray(pose_R, jnp.float32), beta_j)

@@ -41,7 +41,7 @@ def make_detnet_train_step(model, mesh=None, axis_name="data"):
             )
             total, parts = det_loss(
                 preds, batch["hm"], batch["dm"], batch["lm"],
-                batch["hm_veil"], batch["flag_3d"],
+                batch["hm_veil"], batch["flag_3d"], axis_name=axis,
             )
             return total, (parts, mutated["batch_stats"])
 

@@ -42,6 +42,50 @@ def test_rhd_reader(tmp_path):
     assert s["kp2d"].shape == (21, 2)
 
 
+def test_rhd_reader_official_layout(tmp_path):
+    """The OFFICIAL RHD_published_v2 pickle (per-frame dicts, both hands
+    stacked 42-joint) parses directly: majority-visible side selected,
+    rhd (tip->mcp) order reordered to snap, mask-based crop scale
+    (reference rhd.py:131-196)."""
+    from simhand_tpu.finetune.benchmarks import RHD, RHD_TO_SNAP
+
+    root = tmp_path / "rhd"
+    (root / "training" / "color").mkdir(parents=True)
+    (root / "training" / "mask").mkdir()
+    rng = np.random.default_rng(1)
+    anno = {}
+    for i in range(2):
+        cv2.imwrite(str(root / "training" / "color" / f"{i:05d}.png"),
+                    rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+        mask = np.zeros((64, 64), np.uint8)
+        mask[10:40, 20:44] = 20          # right-hand segment ids 18-33
+        cv2.imwrite(str(root / "training" / "mask" / f"{i:05d}.png"), mask)
+        uv_vis = np.zeros((42, 3), np.float32)
+        uv_vis[21:, :2] = rng.uniform(5, 60, (21, 2))
+        uv_vis[21:, 2] = 1.0             # right hand fully visible
+        xyz = rng.normal(size=(42, 3)).astype(np.float32)
+        anno[i] = {"uv_vis": uv_vis, "xyz": xyz,
+                   "K": np.eye(3, dtype=np.float32)}
+    with open(root / "training" / "anno_training.pickle", "wb") as f:
+        pickle.dump(anno, f)
+
+    ds = RHD(str(root), "train")
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["image"].shape == (64, 64, 3)
+    # right side selected + rhd->snap reorder
+    np.testing.assert_allclose(
+        s["joint"], anno[0]["xyz"][21:][RHD_TO_SNAP], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        s["kp2d"], anno[0]["uv_vis"][21:, :2][RHD_TO_SNAP], atol=1e-6
+    )
+    # mask-based scale: max(mask extent, kp extent) * 2.0
+    kp_ext = float(np.max(s["kp2d"].max(0) - s["kp2d"].min(0)))
+    assert float(s["my_scale"]) == pytest.approx(2.0 * max(30.0, kp_ext))
+    assert "center" in s
+
+
 def test_ego4d_hands_2d_reader(tmp_path):
     from simhand_tpu.data.sources import generate_synthetic_hand100m
     from simhand_tpu.finetune.benchmarks import Ego4DHands2D

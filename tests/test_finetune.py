@@ -77,10 +77,11 @@ def test_joint_maps_normalization():
     joint = rng.normal(size=(21, 3)).astype(np.float64)
     loc, delta, root, bone = joint_maps(joint, 32)
     assert loc.shape == (32, 32, 21, 3)
-    np.testing.assert_allclose(root, joint[9])
+    # rooted at the WRIST (reference handataset.py:81,336)
+    np.testing.assert_allclose(root, joint[0])
     np.testing.assert_allclose(bone, np.linalg.norm(joint[9] - joint[0]), rtol=1e-6)
     # location map reproduces normalized joints at every pixel
-    want = (joint - joint[9]) / bone
+    want = (joint - joint[0]) / bone
     np.testing.assert_allclose(loc[0, 0], want, rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(loc[31, 31], want, rtol=1e-4, atol=1e-6)
     # delta vectors are unit length (except root)
@@ -351,3 +352,66 @@ def test_detnet_sharded_step_runs_on_mesh():
     p0 = jax.tree.leaves(state.params)[0]
     p1 = jax.tree.leaves(new_state.params)[0]
     assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+
+def test_det_loss_mesh_matches_single_device():
+    """Sharded det_loss == single-device det_loss on the same global
+    batch: values exact (psum'd sqrt-of-sum norms — per-shard norms
+    would be ~sqrt(world) larger), and per-shard grads are world x the
+    single-device per-sample grads (psum transpose + local-mean
+    denominators), so the trainer's pmean recovers the exact
+    single-device gradient."""
+    import jax
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from simhand_tpu.finetune.detloss import det_loss
+
+    rng = np.random.default_rng(2)
+    B, R, J = 16, 8, 21
+    preds = {
+        "h_map": jnp.asarray(rng.uniform(0, 1, (B, R, R, J)), jnp.float32),
+        "d_map": jnp.asarray(rng.normal(size=(B, R, R, J, 3)), jnp.float32),
+        "l_map": jnp.asarray(rng.normal(size=(B, R, R, J, 3)), jnp.float32),
+    }
+    hm = jnp.asarray(rng.uniform(0, 1, (B, R, R, J)), jnp.float32)
+    dm = jnp.asarray(rng.normal(size=(B, R, R, J, 3)), jnp.float32)
+    lm = jnp.asarray(rng.normal(size=(B, R, R, J, 3)), jnp.float32)
+    veil = jnp.asarray(rng.integers(0, 2, (B, J)), jnp.float32)
+    flag = jnp.asarray(rng.integers(0, 2, B), jnp.float32)
+
+    lfg_s, parts_s = det_loss(preds, hm, dm, lm, veil, flag)
+    grad_s = jax.grad(
+        lambda p: det_loss(p, hm, dm, lm, veil, flag)[0]
+    )(preds)
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    world = len(jax.devices())
+
+    def f(p, hm, dm, lm, veil, flag):
+        lfg, parts = det_loss(p, hm, dm, lm, veil, flag, axis_name="data")
+        g = jax.grad(
+            lambda pp: det_loss(pp, hm, dm, lm, veil, flag,
+                                axis_name="data")[0]
+        )(p)
+        parts = jax.tree.map(lambda x: jax.lax.pmean(x, "data"), parts)
+        return parts, g
+
+    sharded = jax.jit(shard_map(
+        f, mesh=mesh,
+        in_specs=(P("data"),) * 6,
+        out_specs=(P(), P("data")),
+        check_vma=False,
+    ))
+    parts_m, grad_m = sharded(preds, hm, dm, lm, veil, flag)
+
+    for k in ("det_hm", "det_dm", "det_lm", "det_total"):
+        assert float(parts_m[k]) == pytest.approx(float(parts_s[k]),
+                                                  rel=1e-5), k
+    # per-sample preds-grads of the global objective carry a world
+    # factor that the trainer's pmean-over-param-grads divides back out
+    for k in grad_s:
+        np.testing.assert_allclose(
+            np.asarray(grad_m[k]), world * np.asarray(grad_s[k]),
+            rtol=1e-5, atol=1e-7,
+        )

@@ -59,9 +59,10 @@ def test_kinematic_chain_sanity():
     )
     assert bones.max() < 0.10, bones  # all bones anatomical
     assert bones.min() > 0.01, bones
-    # the reference bone is wrist -> middle_mcp and the root is middle_mcp
+    # the reference bone is wrist -> middle_mcp; loc maps and alignment
+    # root at the WRIST (handataset.py:81, align.py:13)
     assert REF_BONE_LINK == (0, 9)
-    assert JOINT_ROOT_IDX == 9
+    assert JOINT_ROOT_IDX == 0
     a, b = REF_BONE_LINK
     assert 0.08 < np.linalg.norm(j[b] - j[a]) < 0.11
     # distance from wrist grows monotonically along each finger chain
@@ -176,7 +177,8 @@ def _write_stb(root, joints, rng):
     # invert the reader transform: palm stored instead of wrist,
     # snap -> stb gather, m -> mm, color-cam -> depth-cam
     snap = joints.astype(np.float64).copy()
-    snap[0] = snap[9] + (joints[0] - snap[9]) / 2.2       # wrist -> palm
+    # wrist -> palm: invert ge_palm2wrist (ring_mcp + 2.0x, stb.py:125)
+    snap[0] = snap[13] + (joints[0] - snap[13]) / 2.0
     snap_mm = snap * 1000.0
     stb = snap_mm[np.asarray(STB_TO_SNAP)]                # stb[i] = snap[STB_TO_SNAP[i]]
     rot = _rodrigues_quat(STB_SK_ROT_VEC)

@@ -87,10 +87,14 @@ def test_relative_bone_lengths_shape_and_ref_norm(mano):
 
 
 def test_aik_roundtrip_on_mano_skeleton(mano):
-    """IK(FK(pose)) reproduces the posed joints through MANO."""
+    """IK(FK(pose)) reproduces the posed joints through MANO. adaptive_ik
+    operates in freihand/snap order (its SNAP_PARENT/ID2ROT tables)."""
+    from simhand_tpu.core.joints import JointMap
+
+    jm = JointMap()
     beta = jnp.zeros((1, 10))
     _, template21 = mano(identity_pose(), beta)
-    template21 = np.asarray(template21[0])
+    template_fh = jm.mano_to_freihand(np.asarray(template21[0]))
 
     rng = np.random.default_rng(3)
     # random-ish global rotation only (swing-only IK is exact there)
@@ -99,9 +103,44 @@ def test_aik_roundtrip_on_mano_skeleton(mano):
     _, target = mano(pose, beta)
     target = np.asarray(target[0])
 
-    pose_rec = adaptive_ik(template21, target)
+    pose_rec = adaptive_ik(template_fh, jm.mano_to_freihand(target))
     _, rec = mano(jnp.asarray(pose_rec, jnp.float32), beta)
     np.testing.assert_allclose(np.asarray(rec[0]), target, atol=5e-3)
+
+
+def test_aik_tracks_articulated_pose_in_snap_order(mano):
+    """Discriminative order check: an ARTICULATED pose (bent finger, not
+    just a rigid rotation) reconstructs accurately only when the IK sees
+    snap-ordered joints — MANO-native ordering scrambles SNAP_PARENT and
+    degrades reconstruction by >10x."""
+    from simhand_tpu.core.joints import JointMap
+
+    jm = JointMap()
+    beta = jnp.zeros((1, 10))
+    _, t21 = mano(identity_pose(), beta)
+    template_fh = jm.mano_to_freihand(np.asarray(t21[0]))
+
+    # bend the index finger (MANO pose slots 1-3) + a global rotation
+    R = axangle2mat(np.array([0.1, 0.9, 0.2]), 0.4)
+    bend = axangle2mat(np.array([1.0, 0.0, 0.0]), 0.5)
+    pose = identity_pose().at[:, 0].set(jnp.asarray(R, jnp.float32))
+    pose = pose.at[:, 1].set(jnp.asarray(bend, jnp.float32))
+    _, target = mano(pose, beta)
+    target = np.asarray(target[0])
+    scale = np.linalg.norm(
+        np.asarray(t21[0])[9] - np.asarray(t21[0])[0]
+    )
+
+    def recon_err(order_fn):
+        pose_rec = adaptive_ik(order_fn(np.asarray(t21[0])),
+                               order_fn(target))
+        _, rec = mano(jnp.asarray(pose_rec, jnp.float32), beta)
+        return np.abs(np.asarray(rec[0]) - target).mean() / scale
+
+    err_snap = recon_err(jm.mano_to_freihand)
+    err_mano = recon_err(lambda x: x)
+    assert err_snap < 0.1, err_snap
+    assert err_mano > 3 * err_snap, (err_mano, err_snap)
 
 
 def test_axangle2mat_is_rotation():

@@ -57,8 +57,10 @@ def make_detnet_train_step(model, mesh=None, axis_name="data"):
         state = state.apply_gradients(grads=grads).replace(batch_stats=stats)
         return state, parts
 
+    # donate the state: params/opt-state buffers update in place (no
+    # full-state copy per step; callers must rebind state = step(...))
     if mesh is None:
-        return jax.jit(partial(step, axis=None))
+        return jax.jit(partial(step, axis=None), donate_argnums=(0,))
     return jax.jit(
         shard_map(
             partial(step, axis=axis_name),
@@ -66,7 +68,8 @@ def make_detnet_train_step(model, mesh=None, axis_name="data"):
             in_specs=(P(), P(axis_name)),
             out_specs=(P(), P()),
             check_vma=False,
-        )
+        ),
+        donate_argnums=(0,),
     )
 
 

@@ -345,13 +345,14 @@ def test_detnet_sharded_step_runs_on_mesh():
     }
     batch = shard_batch(mesh, batch)
     step = make_detnet_train_step(model, mesh=mesh)
+    # snapshot BEFORE stepping: the step donates the input state
+    p0 = np.asarray(jax.tree.leaves(state.params)[0])
     new_state, parts = step(state, batch)
     for v in parts.values():
         assert np.isfinite(float(v))
     # params actually moved
-    p0 = jax.tree.leaves(state.params)[0]
     p1 = jax.tree.leaves(new_state.params)[0]
-    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+    assert not np.allclose(p0, np.asarray(p1))
 
 
 def test_det_loss_mesh_matches_single_device():

@@ -56,6 +56,7 @@ class RHD:
         with open(os.path.join(root_dir, name, f"anno_{name}.pickle"), "rb") as f:
             a = pickle.load(f)
         self.root = os.path.join(root_dir, name)
+        self._scale_cache: dict[int, np.float32] = {}
         if isinstance(a, dict) and "clr_paths" in a:
             self.clr_paths = a["clr_paths"]
             self.joints = a["joints"]      # list of (21, 3), meters
@@ -88,7 +89,11 @@ class RHD:
 
     def _mask_scale(self, i: int, kp2d: np.ndarray) -> np.float32:
         """get_ori_crop_scale: max(mask extent, kp2d extent) * 2.0
-        (handutils.py:275-291; mask ids 2-17 left / 18-33 right)."""
+        (handutils.py:275-291; mask ids 2-17 left / 18-33 right).
+        Cached per index — the reference precomputes all scales at init;
+        re-reading the mask PNG every fetch would double image IO."""
+        if i in self._scale_cache:
+            return self._scale_cache[i]
         kp_scale = float(np.max(kp2d.max(axis=0) - kp2d.min(axis=0)))
         scale = kp_scale
         if self.sides is not None:
@@ -104,7 +109,8 @@ class RHD:
                 if len(seg):
                     ext = (seg.max(axis=0) - seg.min(axis=0) + 1).max()
                     scale = max(float(ext), kp_scale)
-        return np.float32(scale * 2.0)
+        self._scale_cache[i] = np.float32(scale * 2.0)
+        return self._scale_cache[i]
 
     def __len__(self):
         return len(self.clr_paths)
@@ -116,19 +122,33 @@ class RHD:
             cv2.imread(os.path.join(self.root, self.clr_paths[i])),
             cv2.COLOR_BGR2RGB,
         )
-        kp2d = np.asarray(self.kp2ds[i], np.float32).reshape(21, 2)
+        kp2d = np.asarray(self.kp2ds[i], np.float32).reshape(21, 2).copy()
+        joint = np.asarray(self.joints[i], np.float32).reshape(21, 3).copy()
+        center = (np.asarray(self.centers[i], np.float32).reshape(2).copy()
+                  if self.centers is not None else None)
+        my_scale = None
+        if self.my_scales is not None:
+            my_scale = np.float32(np.asarray(self.my_scales[i]).ravel()[0])
+        elif self.sides is not None:
+            my_scale = self._mask_scale(i, kp2d)
+        if self.sides is not None and self.sides[i] == "l":
+            # left hands mirrored to right (reference rhd.py:234,252-257)
+            w = img.shape[1]
+            img = np.ascontiguousarray(img[:, ::-1])
+            kp2d[:, 0] = w - kp2d[:, 0]
+            joint[:, 0] = -joint[:, 0]
+            if center is not None:
+                center[0] = w - center[0]
         out = {
             "image": img,
             "K": np.asarray(self.intrs[i], np.float32).reshape(3, 3),
-            "joint": np.asarray(self.joints[i], np.float32).reshape(21, 3),
+            "joint": joint,
             "kp2d": kp2d,
         }
-        if self.centers is not None:
-            out["center"] = np.asarray(self.centers[i], np.float32).reshape(2)
-        if self.my_scales is not None:
-            out["my_scale"] = np.float32(np.asarray(self.my_scales[i]).ravel()[0])
-        elif self.sides is not None:
-            out["my_scale"] = self._mask_scale(i, kp2d)
+        if center is not None:
+            out["center"] = center
+        if my_scale is not None:
+            out["my_scale"] = my_scale
         return out
 
 
@@ -163,7 +183,7 @@ class DexYCB:
     N_VALID_KEYPOINTS = 10          # reference datasets/__init__.py:1
 
     def __init__(self, root_dir: str, split: str = "train", setup: str = "s1",
-                 filter_invalid: bool = True):
+                 filter_invalid: bool = True, cache_path: str | None = None):
         import yaml
 
         self.root = root_dir
@@ -195,14 +215,28 @@ class DexYCB:
                     serials.append(serial)
         if filter_invalid:
             # reference frame filter (dexycb.py:282-293): drop frames
-            # with <10 visible joints or an invisible ref-bone endpoint
-            keep = []
-            for s in self.samples:
-                kp2d, j3d = self._load_labels(s[0], s[2])
-                vis = self._visibility(kp2d, j3d)
-                if vis.sum() >= self.N_VALID_KEYPOINTS and vis[0] and vis[9]:
-                    keep.append(s)
-            self.samples = keep
+            # with <10 visible joints or an invisible ref-bone endpoint.
+            # The scan opens every labels npz once; pass cache_path to
+            # persist the surviving keys (the reference pickles the whole
+            # repack, dexycb.py:296-300).
+            if cache_path and os.path.exists(cache_path):
+                with open(cache_path) as f:
+                    keys = set(tuple(k) for k in json.load(f))
+                self.samples = [
+                    s for s in self.samples if (s[0], s[2]) in keys
+                ]
+            else:
+                keep = []
+                for s in self.samples:
+                    kp2d, j3d = self._load_labels(s[0], s[2])
+                    vis = self._visibility(kp2d, j3d)
+                    if (vis.sum() >= self.N_VALID_KEYPOINTS
+                            and vis[0] and vis[9]):
+                        keep.append(s)
+                self.samples = keep
+                if cache_path:
+                    with open(cache_path, "w") as f:
+                        json.dump([[s[0], s[2]] for s in self.samples], f)
 
     def _load_labels(self, cam_dir: str, fr: int):
         labels = np.load(os.path.join(cam_dir, f"labels_{fr:06d}.npz"))
@@ -245,12 +279,15 @@ class DexYCB:
         # DexYCB labels are already wrist-first freihand order
         # (dex-ycb-toolkit MANO joint list; the reference reader keeps it,
         # minimal-hand/datasets/dexycb.py:436).
+        # visibility from the RAW labels (the reference computes vis at
+        # :438 BEFORE the flip; post-flip coords would misjudge boundary
+        # pixels and the mirrored -1 depth sentinel)
+        vis = self._visibility(kp2d, joint)
         if side != "right":
             # left hands mirrored to right (reference dexycb.py:469-477)
             img = np.ascontiguousarray(img[:, ::-1])
             kp2d[:, 0] = self.WIDTH - kp2d[:, 0]
             joint[:, 0] *= -1
-        vis = self._visibility(kp2d, joint)
         center = np.array([int((kp2d[:, 0].min() + kp2d[:, 0].max()) / 2),
                            int((kp2d[:, 1].min() + kp2d[:, 1].max()) / 2)],
                           np.float32)
@@ -517,9 +554,15 @@ class STB:
         import cv2
 
         img = cv2.cvtColor(cv2.imread(self.img_paths[i]), cv2.COLOR_BGR2RGB)
-        joint = self.joints_snap[i]                 # snap == freihand order
+        joint = self.joints_snap[i].copy()          # snap == freihand order
         kp = (STB_SK_INTR @ joint.T).T
         kp2d = (kp[:, :2] / kp[:, 2:]).astype(np.float32)
+        # STB is an all-LEFT-hand set; the reference mirrors every sample
+        # to right (stb.py:348,376-380: hand_side='right' -> flip=True)
+        w = img.shape[1]
+        img = np.ascontiguousarray(img[:, ::-1])
+        kp2d[:, 0] = w - kp2d[:, 0]
+        joint[:, 0] = -joint[:, 0]
         return {"image": img, "K": STB_SK_INTR, "joint": joint, "kp2d": kp2d}
 
 
@@ -631,30 +674,79 @@ def _tip_center_scale(tips: np.ndarray) -> dict:
     return {"center": center, "my_scale": np.float32(max(scale, 1.0))}
 
 
-class DexterObject:
-    """Dexter+Object: fingertip-only 2D/3D annotations
-    (reference: datasets/dexter_object.py). Emits 21-joint arrays with
-    only the 5 tips valid — consumers mask via the veil/valid channels."""
+# Dexter+Object camera chain, vendored from the reference
+# (dexter_object.py:74-89): the fingertip annotations live in the DEPTH
+# frame (320x240); color-frame 2D comes from projecting the 3D tips
+# (x, y negated) through color_intrinsics @ color_extrinsics.
+DO_M_COLOR = np.array([[587.45209, 0, 325.0],
+                       [0, 600.67456, 249.0],
+                       [0, 0, 1.0]]) @ np.array(
+    [[0.9999, 0.0034, 0.0161, 19.0473],
+     [-0.0033, 1.0000, -0.0079, -1.8514],
+     [-0.0162, 0.0079, 0.9998, -4.7501]])
 
-    SEQS = ("Grasp1", "Grasp2", "Occlusion", "Pinch", "Rigid", "Rotate")
+
+def _parse_tip_rows(path: str, dims: int) -> np.ndarray:
+    """Semicolon-grouped, comma-separated tip annotations (the official
+    DO/EO text layout, reference dexter_object.py:129-151)."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            vals = [v for v in line.strip().replace(";", ",").split(",")
+                    if v.strip()]
+            if len(vals) < 5 * dims:
+                continue
+            rows.append(np.asarray(vals[: 5 * dims], np.float32
+                                   ).reshape(5, dims))
+    return np.stack(rows) if rows else np.zeros((0, 5, dims), np.float32)
+
+
+class DexterObject:
+    """Dexter+Object: fingertip-only annotations, evaluated in the COLOR
+    frame (reference: datasets/dexter_object.py). 3D tips (my_{seq}3D.txt
+    or {seq}3D.txt) are projected via the vendored camera chain; every
+    sample is mirrored left->right (hand_side='right', :255-264). Without
+    the 3D files, falls back to the raw {seq}2D.txt DEPTH-frame tips
+    (misaligned with the color image — documented degraded mode). The
+    crop box derives from the valid tips (the reference uses its shipped
+    DO_pred_2d.npy predictions — an asset; the annotation-tip box is the
+    reproducible substitute). Emits 21-joint arrays with only the 5 tips
+    valid — consumers mask via the veil/valid channels."""
+
+    SEQS = ("Grasp1", "Grasp2", "Occlusion", "Rigid", "Pinch", "Rotate")
 
     def __init__(self, root_dir: str):
-        self.samples: list[tuple[str, np.ndarray]] = []
+        self.samples: list[tuple[str, np.ndarray, bool]] = []
         for seq in self.SEQS:
-            anno = os.path.join(root_dir, "data", seq, "annotations",
-                                f"{seq}.txt")
+            anno_dir = os.path.join(root_dir, "data", seq, "annotations")
             img_dir = os.path.join(root_dir, "data", seq, "color")
-            if not os.path.exists(anno):
-                continue
-            with open(anno) as f:
-                for idx, line in enumerate(f):
-                    vals = [v for v in line.strip().replace(";", ",").split(",") if v]
-                    if len(vals) < 10:
-                        continue
-                    tips = np.asarray(vals[:10], np.float32).reshape(5, 2)
+            tips3d = None
+            for name in (f"my_{seq}3D.txt", f"{seq}3D.txt"):
+                p = os.path.join(anno_dir, name)
+                if os.path.exists(p):
+                    tips3d = _parse_tip_rows(p, 3)
+                    break
+            if tips3d is not None:
+                for idx in range(len(tips3d)):
+                    j = tips3d[idx] * np.array([-1.0, -1.0, 1.0], np.float32)
+                    h = np.concatenate(
+                        [j.T * 1000.0, np.ones((1, 5))], axis=0)
+                    uv = DO_M_COLOR @ h
+                    tips = (uv[:2] / uv[2]).T.astype(np.float32)
                     self.samples.append(
-                        (os.path.join(img_dir, f"color_{idx:05d}.png"), tips)
-                    )
+                        (os.path.join(img_dir, f"color_{idx:05d}.png"),
+                         tips, True))
+                continue
+            # degraded fallback: depth-frame 2D tips (legacy {seq}.txt or
+            # official {seq}2D.txt)
+            for name in (f"{seq}2D.txt", f"{seq}.txt"):
+                p = os.path.join(anno_dir, name)
+                if os.path.exists(p):
+                    for idx, tips in enumerate(_parse_tip_rows(p, 2)):
+                        self.samples.append(
+                            (os.path.join(img_dir, f"color_{idx:05d}.png"),
+                             tips, False))
+                    break
 
     def __len__(self):
         return len(self.samples)
@@ -662,41 +754,78 @@ class DexterObject:
     def __getitem__(self, i: int) -> dict:
         import cv2
 
-        path, tips = self.samples[i]
+        path, tips, color_frame = self.samples[i]
         img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+        tips = tips.copy()
+        if color_frame:
+            # mirror to right hands, like the reference (every sample)
+            w = img.shape[1]
+            img = np.ascontiguousarray(img[:, ::-1])
+            valid = (tips != 0).any(axis=1)
+            tips[valid, 0] = w - tips[valid, 0]
         kp2d = np.zeros((21, 2), np.float32)
         kp2d[FINGERTIP_IDS] = tips
         return {"image": img, "K": None, "joint": None, "kp2d": kp2d,
                 "tip_only": True, **_tip_center_scale(tips)}
 
 
+# EgoDexter camera chain (reference egodexter.py:58-65): 3D tips (mm)
+# project into the color frame via color_intrinsics @ color_extrinsics.
+EO_M_COLOR = np.array([[617.173, 0, 315.453],
+                       [0, 617.173, 242.259],
+                       [0, 0, 1.0]]) @ np.array(
+    [[1.0000, 0.00090442, -0.0074, 20.2365],
+     [-0.00071933, 0.9997, 0.0248, 1.2846],
+     [0.0075, -0.0248, 0.9997, 5.7360]])
+
+
 class EgoDexter:
-    """EgoDexter: egocentric fingertip-only annotations
-    (reference: datasets/egodexter.py). annotation.txt_3D.txt holds 3D tip
-    positions; 2D tips come from annotation.txt. Tip-only like
-    DexterObject."""
+    """EgoDexter: egocentric fingertip-only annotations, color frame
+    (reference: datasets/egodexter.py). 3D tips from
+    (my_)annotation.txt_3D.txt (mm; zero rows invalid) projected via the
+    vendored camera chain; every sample mirrored left->right (:175-181);
+    the reference's fixed CenterCrop(480, 480) becomes a per-sample
+    center/my_scale so the builder's affine reproduces it. Without the
+    3D file, falls back to annotation.txt DEPTH-frame tips (misaligned
+    with the color image — documented degraded mode)."""
 
     SEQS = ("Desk", "Fruits", "Kitchen", "Rotunda")
 
     def __init__(self, root_dir: str):
-        self.samples: list[tuple[str, np.ndarray]] = []
+        self.samples: list[tuple[str, np.ndarray, bool]] = []
         for seq in self.SEQS:
             seq_dir = os.path.join(root_dir, "data", seq)
-            anno = os.path.join(seq_dir, "annotation.txt")
             img_dir = os.path.join(seq_dir, "color")
+            tips3d = None
+            for name in ("my_annotation.txt_3D.txt", "annotation.txt_3D.txt"):
+                p = os.path.join(seq_dir, name)
+                if os.path.exists(p):
+                    tips3d = _parse_tip_rows(p, 3)
+                    break
+            if tips3d is not None:
+                for idx in range(len(tips3d)):
+                    j = tips3d[idx]                        # mm
+                    valid = (np.abs(j) > 1e-6).any(axis=1)
+                    if not valid.any():
+                        continue
+                    h = np.concatenate([j.T, np.ones((1, 5))], axis=0)
+                    uv = EO_M_COLOR @ h
+                    tips = (uv[:2] / uv[2]).T.astype(np.float32)
+                    tips[~valid] = 0.0
+                    self.samples.append(
+                        (os.path.join(img_dir,
+                                      f"image_{idx:05d}_color.png"),
+                         tips, True))
+                continue
+            anno = os.path.join(seq_dir, "annotation.txt")
             if not os.path.exists(anno):
                 continue
-            with open(anno) as f:
-                for idx, line in enumerate(f):
-                    vals = [v for v in line.strip().replace(";", ",").split(",") if v]
-                    if len(vals) < 10:
-                        continue
-                    tips = np.asarray(vals[:10], np.float32).reshape(5, 2)
-                    if not tips.any():
-                        continue
-                    self.samples.append(
-                        (os.path.join(img_dir, f"image_{idx:05d}_color.png"), tips)
-                    )
+            for idx, tips in enumerate(_parse_tip_rows(anno, 2)):
+                if not tips.any():
+                    continue
+                self.samples.append(
+                    (os.path.join(img_dir, f"image_{idx:05d}_color.png"),
+                     tips, False))
 
     def __len__(self):
         return len(self.samples)
@@ -704,9 +833,19 @@ class EgoDexter:
     def __getitem__(self, i: int) -> dict:
         import cv2
 
-        path, tips = self.samples[i]
+        path, tips, color_frame = self.samples[i]
         img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+        tips = tips.copy()
+        h, w = img.shape[:2]
+        if color_frame:
+            # mirror to right hands, like the reference (every sample)
+            img = np.ascontiguousarray(img[:, ::-1])
+            valid = (tips != 0).any(axis=1)
+            tips[valid, 0] = w - tips[valid, 0]
         kp2d = np.zeros((21, 2), np.float32)
         kp2d[FINGERTIP_IDS] = tips
+        # reference transform: CenterCrop(480, 480) on the 640x480 frame
         return {"image": img, "K": None, "joint": None, "kp2d": kp2d,
-                "tip_only": True, **_tip_center_scale(tips)}
+                "tip_only": True,
+                "center": np.array([w / 2.0, h / 2.0], np.float32),
+                "my_scale": np.float32(min(480.0, float(min(h, w))))}

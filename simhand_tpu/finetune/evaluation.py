@@ -12,6 +12,9 @@ from __future__ import annotations
 
 import numpy as np
 
+# np.trapz was renamed to trapezoid in numpy 2; support both
+_trapz = getattr(np, "trapezoid", None) or np.trapz
+
 import jax
 import jax.numpy as jnp
 
@@ -47,7 +50,7 @@ class EvalUtil:
         pck_curve_all, thresholds) — zimeval.py:90-139 contract."""
         d, vis = self._stacked()
         thresholds = np.linspace(val_min, val_max, steps)
-        norm = np.trapezoid(np.ones_like(thresholds), thresholds)
+        norm = _trapz(np.ones_like(thresholds), thresholds)
 
         epe_mean_joint, epe_median, aucs, pcks = [], [], [], []
         for k in range(self.num_kp):
@@ -58,7 +61,7 @@ class EvalUtil:
             epe_median.append(np.median(dk))
             curve = np.stack([(dk <= t).mean() for t in thresholds])
             pcks.append(curve)
-            aucs.append(np.trapezoid(curve, thresholds) / norm)
+            aucs.append(_trapz(curve, thresholds) / norm)
         return (
             float(np.mean(epe_mean_joint)),
             epe_mean_joint,
@@ -99,8 +102,8 @@ def pck_curve(
 def auc_joints(dists: np.ndarray, per_joint: bool = True):
     """AUC of the 0..0.5/0.005 PCK curve (evaluation_utils.py:273-301)."""
     curves, thresholds = pck_curve(dists, 0.0, 0.5, 0.005, per_joint=True)
-    norm = np.trapezoid(np.ones(len(thresholds)), thresholds)
-    auc = np.trapezoid(curves, thresholds, axis=-1) / norm
+    norm = _trapz(np.ones(len(thresholds)), thresholds)
+    auc = _trapz(curves, thresholds, axis=-1) / norm
     return auc if per_joint else float(auc.mean())
 
 
@@ -138,21 +141,6 @@ def procrustes_align(X: Array, Y: Array):
     translation = muX - scale * jnp.einsum("bnk,bkp->bnp", muY, R)
     Y_aligned = normX * scale_ratio * jnp.einsum("bnk,bkp->bnp", Y0n, R) + muX
     return Y_aligned, R, scale, translation
-
-
-def align_by_root_and_scale(
-    pred: np.ndarray, gt: np.ndarray, root_idx: int = 0,
-    ref_bone=(9, 10),
-) -> np.ndarray:
-    """Global alignment used by minimal-hand eval (utils/align.py): shift
-    prediction to the gt root and rescale by one reference bone length."""
-    pred = pred - pred[:, root_idx : root_idx + 1]
-    gt_rel = gt - gt[:, root_idx : root_idx + 1]
-    a, b = ref_bone
-    pred_len = np.linalg.norm(pred[:, a] - pred[:, b], axis=-1, keepdims=True)
-    gt_len = np.linalg.norm(gt_rel[:, a] - gt_rel[:, b], axis=-1, keepdims=True)
-    scale = (gt_len / np.maximum(pred_len, 1e-12))[:, :, None]
-    return pred * scale + gt[:, root_idx : root_idx + 1]
 
 
 def global_align(gtj: np.ndarray, prj: np.ndarray, key: str):

@@ -85,6 +85,22 @@ def test_rhd_reader_official_layout(tmp_path):
     assert float(s["my_scale"]) == pytest.approx(2.0 * max(30.0, kp_ext))
     assert "center" in s
 
+    # left-majority frames are mirrored to right (rhd.py:234,252-257)
+    anno[1]["uv_vis"][:21] = anno[1]["uv_vis"][21:]
+    anno[1]["uv_vis"][21:] = 0.0
+    with open(root / "training" / "anno_training.pickle", "wb") as f:
+        pickle.dump(anno, f)
+    ds2 = RHD(str(root), "train")
+    sl = ds2[1]
+    raw_kp = anno[1]["uv_vis"][:21, :2][RHD_TO_SNAP]
+    np.testing.assert_allclose(sl["kp2d"][:, 0], 64 - raw_kp[:, 0],
+                               atol=1e-5)
+    np.testing.assert_allclose(
+        sl["joint"][:, 0], -anno[1]["xyz"][:21][RHD_TO_SNAP][:, 0],
+        atol=1e-6,
+    )
+    np.testing.assert_array_equal(sl["image"], ds[1]["image"][:, ::-1])
+
 
 def test_ego4d_hands_2d_reader(tmp_path):
     from simhand_tpu.data.sources import generate_synthetic_hand100m

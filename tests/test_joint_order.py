@@ -174,11 +174,13 @@ def _write_stb(root, joints, rng):
         _rodrigues_quat,
     )
 
-    # invert the reader transform: palm stored instead of wrist,
+    # invert the reader transform: right->left mirror (the reader flips
+    # every STB sample to right), palm stored instead of wrist,
     # snap -> stb gather, m -> mm, color-cam -> depth-cam
     snap = joints.astype(np.float64).copy()
+    snap[:, 0] = -snap[:, 0]                              # store as LEFT
     # wrist -> palm: invert ge_palm2wrist (ring_mcp + 2.0x, stb.py:125)
-    snap[0] = snap[13] + (joints[0] - snap[13]) / 2.0
+    snap[0] = snap[13] + (snap[0] - snap[13]) / 2.0
     snap_mm = snap * 1000.0
     stb = snap_mm[np.asarray(STB_TO_SNAP)]                # stb[i] = snap[STB_TO_SNAP[i]]
     rot = _rodrigues_quat(STB_SK_ROT_VEC)
@@ -280,8 +282,12 @@ def test_reader_emits_canonical_order(name, tmp_path):
         err_msg=f"{name} does not emit canonical freihand-order joints",
     )
     # kp2d agrees with the dataset's own 2D annotation convention:
-    # where K is available it must match the projection of the joints
-    if s.get("K") is not None:
+    # where K is available it must match the projection of the joints.
+    # STB excepted: the reference mirrors kp2d as W - x while keeping the
+    # original K (stb.py:376-380) — exact re-projection of the mirrored
+    # joint would need cx' = W - cx, so the identity holds only up to
+    # 2*(W/2 - cx) in x; the joint/kp2d are each reference-exact.
+    if s.get("K") is not None and name != "stb":
         np.testing.assert_allclose(
             s["kp2d"], _project(s["joint"], s["K"]), atol=2.0,
             err_msg=f"{name} kp2d does not match its joint projection",

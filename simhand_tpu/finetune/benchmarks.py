@@ -11,12 +11,18 @@ tests/test_finetune_data.py cross-checks every reader against this
 schema on a synthetic hand. Every reader is gated on its official on-disk layout
 (nothing is vendored); tests use the synthetic stand-ins.
 
+Left hands are mirrored to right everywhere (the reference trains/evals
+right hands only; STB and DO/EO flip every sample).
+
 Coverage vs the reference's minimal-hand/datasets/:
-  RHD            anno_%s.pickle dict (sides/clr_paths/joints/kp2ds/intrs)
-  STB            labels/*.mat (SK color camera), counter-clockwise order
+  RHD            official RHD_published_v2 per-frame pickle OR the
+                 reference's repackaged cache dict; mask-based crop scale
+  STB            labels/*.mat (SK color camera); all-left set, mirrored
   DexYCB         dex-ycb-toolkit layout, s1/s2 subject/camera splits,
-                 per-frame labels_*.npz (joint_3d/joint_2d)
+                 per-frame labels_*.npz, invalid-frame filter
   AssemblyHands  COCO-style ego annotations v1-1
+  DexterObject / EgoDexter  3D tips projected into the color frame via
+                 vendored camera chains; tip-only protocol
   Ego4D-hands    Hand100M annotation JSON, 2D-only (flag_3d=0)
 """
 from __future__ import annotations

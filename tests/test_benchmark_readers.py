@@ -318,3 +318,44 @@ def test_assemblyhands_exo_and_filters(tmp_path):
 
     from simhand_tpu.finetune.registry import get_dataset
     assert len(get_dataset("ah-exo", str(root), "val")) == 3
+
+
+def test_dexter_object_color_frame_projection(tmp_path):
+    """With 3D tip files present, DO projects through the vendored color
+    camera chain (x/y negated, mm scale) and mirrors every sample
+    (reference dexter_object.py:74-89,232-264)."""
+    from simhand_tpu.finetune.benchmarks import (
+        DO_M_COLOR,
+        FINGERTIP_IDS,
+        DexterObject,
+    )
+
+    root = tmp_path / "do"
+    seq = root / "data" / "Grasp1"
+    (seq / "annotations").mkdir(parents=True)
+    (seq / "color").mkdir()
+    rng = np.random.default_rng(3)
+    # 3D tips in meters, in front of the camera
+    tips3d = rng.uniform(-0.05, 0.05, (2, 5, 3)).astype(np.float32)
+    tips3d[..., 2] = -rng.uniform(0.4, 0.6, (2, 5))  # negated z -> +depth
+    lines = []
+    for row in tips3d:
+        lines.append("; ".join(
+            ", ".join(f"{v:.6f}" for v in tip) for tip in row))
+    (seq / "annotations" / "my_Grasp13D.txt").write_text("\n".join(lines))
+    for i in range(2):
+        cv2.imwrite(str(seq / "color" / f"color_{i:05d}.png"),
+                    rng.integers(0, 255, (480, 640, 3), dtype=np.uint8))
+
+    ds = DexterObject(str(root))
+    assert len(ds) == 2
+    s = ds[0]
+    j = tips3d[0] * np.array([-1.0, -1.0, 1.0])
+    h = np.concatenate([j.T * 1000.0, np.ones((1, 5))], axis=0)
+    uv = DO_M_COLOR @ h
+    want = (uv[:2] / uv[2]).T
+    want[:, 0] = 640 - want[:, 0]            # mirrored to right
+    np.testing.assert_allclose(
+        s["kp2d"][FINGERTIP_IDS], want, atol=1e-3
+    )
+    assert s["tip_only"] and "center" in s and "my_scale" in s

@@ -182,6 +182,7 @@ def test_eval_cli_synthetic_and_tip_only(tmp_path):
     assert {"epe_px_mean", "pck@8px", "pck@16px"} <= set(m)
 
 
+@pytest.mark.slow
 def test_train_cli_multiset_weighted(tmp_path):
     """--dataset a,b --sample_weights trains through the composed mix."""
     from simhand_tpu.finetune.train import main as train_main

@@ -11,8 +11,10 @@ tests/test_finetune_data.py cross-checks every reader against this
 schema on a synthetic hand. Every reader is gated on its official on-disk layout
 (nothing is vendored); tests use the synthetic stand-ins.
 
-Left hands are mirrored to right everywhere (the reference trains/evals
-right hands only; STB and DO/EO flip every sample).
+Left hands are mirrored to right wherever chirality is known (the
+reference trains/evals right hands only; STB mirrors every sample, DO/EO
+mirror on their color-frame 3D-projection paths — the degraded
+depth-frame 2D fallbacks have no calibrated frame and stay unmirrored).
 
 Coverage vs the reference's minimal-hand/datasets/:
   RHD            official RHD_published_v2 per-frame pickle OR the
@@ -694,16 +696,35 @@ DO_M_COLOR = np.array([[587.45209, 0, 325.0],
 
 def _parse_tip_rows(path: str, dims: int) -> np.ndarray:
     """Semicolon-grouped, comma-separated tip annotations (the official
-    DO/EO text layout, reference dexter_object.py:129-151)."""
+    DO/EO text layout, reference dexter_object.py:129-151). One output
+    row PER LINE — partially-annotated tips become NaN instead of the
+    line being dropped, preserving the row-index -> frame-filename
+    pairing (the reference NaN-fills for exactly this reason,
+    egodexter.py:333); the 32001 invalid sentinel also maps to NaN
+    (dexter_object.py:153-155)."""
     rows = []
     with open(path) as f:
         for line in f:
-            vals = [v for v in line.strip().replace(";", ",").split(",")
-                    if v.strip()]
-            if len(vals) < 5 * dims:
+            if not line.strip():
                 continue
-            rows.append(np.asarray(vals[: 5 * dims], np.float32
-                                   ).reshape(5, dims))
+            groups = line.strip().rstrip(";").split(";")
+            if len(groups) == 1:
+                # flat comma-only layout: consecutive value d-tuples
+                flat = [p for p in groups[0].split(",") if p.strip()]
+                groups = [
+                    ",".join(flat[k * dims : (k + 1) * dims])
+                    for k in range(5)
+                ]
+            vals = np.full((5, dims), np.nan, np.float32)
+            for g in range(min(5, len(groups))):
+                parts = [p for p in groups[g].split(",") if p.strip()]
+                if len(parts) >= dims:
+                    try:
+                        vals[g] = [float(p) for p in parts[:dims]]
+                    except ValueError:
+                        pass
+            vals[np.abs(vals - 32001.0) < 1e-3] = np.nan
+            rows.append(vals)
     return np.stack(rows) if rows else np.zeros((0, 5, dims), np.float32)
 
 
@@ -734,11 +755,16 @@ class DexterObject:
                     break
             if tips3d is not None:
                 for idx in range(len(tips3d)):
+                    # file values are mm; the reference divides by 1000
+                    # at load then re-multiplies at projection — net raw
+                    # mm into M_color (dexter_object.py:167,238)
                     j = tips3d[idx] * np.array([-1.0, -1.0, 1.0], np.float32)
+                    valid = np.isfinite(j).all(axis=1)
                     h = np.concatenate(
-                        [j.T * 1000.0, np.ones((1, 5))], axis=0)
+                        [np.nan_to_num(j).T, np.ones((1, 5))], axis=0)
                     uv = DO_M_COLOR @ h
                     tips = (uv[:2] / uv[2]).T.astype(np.float32)
+                    tips[~valid] = 0.0
                     self.samples.append(
                         (os.path.join(img_dir, f"color_{idx:05d}.png"),
                          tips, True))
@@ -751,7 +777,7 @@ class DexterObject:
                     for idx, tips in enumerate(_parse_tip_rows(p, 2)):
                         self.samples.append(
                             (os.path.join(img_dir, f"color_{idx:05d}.png"),
-                             tips, False))
+                             np.nan_to_num(tips), False))
                     break
 
     def __len__(self):
@@ -811,10 +837,12 @@ class EgoDexter:
             if tips3d is not None:
                 for idx in range(len(tips3d)):
                     j = tips3d[idx]                        # mm
-                    valid = (np.abs(j) > 1e-6).any(axis=1)
+                    valid = (np.isfinite(j).all(axis=1)
+                             & (np.abs(np.nan_to_num(j)) > 1e-6).any(axis=1))
                     if not valid.any():
                         continue
-                    h = np.concatenate([j.T, np.ones((1, 5))], axis=0)
+                    h = np.concatenate(
+                        [np.nan_to_num(j).T, np.ones((1, 5))], axis=0)
                     uv = EO_M_COLOR @ h
                     tips = (uv[:2] / uv[2]).T.astype(np.float32)
                     tips[~valid] = 0.0
@@ -827,6 +855,7 @@ class EgoDexter:
             if not os.path.exists(anno):
                 continue
             for idx, tips in enumerate(_parse_tip_rows(anno, 2)):
+                tips = np.nan_to_num(tips)
                 if not tips.any():
                     continue
                 self.samples.append(

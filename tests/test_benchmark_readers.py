@@ -322,8 +322,11 @@ def test_assemblyhands_exo_and_filters(tmp_path):
 
 def test_dexter_object_color_frame_projection(tmp_path):
     """With 3D tip files present, DO projects through the vendored color
-    camera chain (x/y negated, mm scale) and mirrors every sample
-    (reference dexter_object.py:74-89,232-264)."""
+    camera chain: RAW mm values (the reference's /1000-then-x1000 round
+    trip is a net no-op, dexter_object.py:167,238), x/y negated, every
+    sample mirrored. The 32001 occlusion sentinel and partially
+    annotated lines become invalid tips WITHOUT shifting the row-index
+    -> frame pairing."""
     from simhand_tpu.finetune.benchmarks import (
         DO_M_COLOR,
         FINGERTIP_IDS,
@@ -335,27 +338,56 @@ def test_dexter_object_color_frame_projection(tmp_path):
     (seq / "annotations").mkdir(parents=True)
     (seq / "color").mkdir()
     rng = np.random.default_rng(3)
-    # 3D tips in meters, in front of the camera
-    tips3d = rng.uniform(-0.05, 0.05, (2, 5, 3)).astype(np.float32)
-    tips3d[..., 2] = -rng.uniform(0.4, 0.6, (2, 5))  # negated z -> +depth
-    lines = []
-    for row in tips3d:
-        lines.append("; ".join(
-            ", ".join(f"{v:.6f}" for v in tip) for tip in row))
+    # realistic DO geometry: mm units, tips ~0.5 m in front of the
+    # depth camera (negated-x/y frame -> z positive after negation)
+    tips3d = np.zeros((3, 5, 3), np.float32)
+    tips3d[..., 0] = rng.uniform(-60, 60, (3, 5))
+    tips3d[..., 1] = rng.uniform(-60, 60, (3, 5))
+    tips3d[..., 2] = rng.uniform(400, 700, (3, 5))
+    tips3d[1, 2] = 32001.0                   # occluded tip sentinel
+    lines = [
+        "; ".join(", ".join(f"{v:.4f}" for v in tip) for tip in row)
+        for row in tips3d[:2]
+    ]
+    lines.append("; ".join(                  # frame 2: only 3 tips
+        ", ".join(f"{v:.4f}" for v in tip) for tip in tips3d[2, :3]))
     (seq / "annotations" / "my_Grasp13D.txt").write_text("\n".join(lines))
-    for i in range(2):
+    for i in range(3):
         cv2.imwrite(str(seq / "color" / f"color_{i:05d}.png"),
                     rng.integers(0, 255, (480, 640, 3), dtype=np.uint8))
 
     ds = DexterObject(str(root))
-    assert len(ds) == 2
-    s = ds[0]
-    j = tips3d[0] * np.array([-1.0, -1.0, 1.0])
-    h = np.concatenate([j.T * 1000.0, np.ones((1, 5))], axis=0)
-    uv = DO_M_COLOR @ h
-    want = (uv[:2] / uv[2]).T
-    want[:, 0] = 640 - want[:, 0]            # mirrored to right
+    assert len(ds) == 3
+
+    def want_tips(row):
+        # the reference chain, transcribed independently: negate x/y of
+        # the raw-mm values, project homogeneously, mirror x
+        j = row * np.array([-1.0, -1.0, 1.0])
+        uv = DO_M_COLOR @ np.concatenate([j.T, np.ones((1, 5))], axis=0)
+        w = (uv[:2] / uv[2]).T
+        w[:, 0] = 640 - w[:, 0]
+        return w
+
+    s0 = ds[0]
     np.testing.assert_allclose(
-        s["kp2d"][FINGERTIP_IDS], want, atol=1e-3
+        s0["kp2d"][FINGERTIP_IDS], want_tips(tips3d[0]), atol=1e-2
     )
-    assert s["tip_only"] and "center" in s and "my_scale" in s
+    assert s0["tip_only"] and "center" in s0 and "my_scale" in s0
+    # depth is ~0.5 m: the extrinsic translation (~19 mm) must matter —
+    # a unit slip (x1000) would suppress it by >20 px
+    no_trans = (DO_M_COLOR[:, :3] @ (tips3d[0] * [-1, -1, 1]).T)
+    no_trans = (no_trans[:2] / no_trans[2]).T
+    no_trans[:, 0] = 640 - no_trans[:, 0]
+    assert np.abs(s0["kp2d"][FINGERTIP_IDS] - no_trans).max() > 5.0
+
+    # sentinel tip invalid, row alignment preserved
+    s1 = ds[1]
+    assert (s1["kp2d"][FINGERTIP_IDS][2] == 0).all()
+    assert (s1["kp2d"][FINGERTIP_IDS][[0, 1, 3, 4]] != 0).any(axis=1).all()
+    # frame 2 pairs with color_00002 despite its short line; tips 3-4
+    # invalid
+    s2 = ds[2]
+    np.testing.assert_allclose(
+        s2["kp2d"][FINGERTIP_IDS][:3], want_tips(tips3d[2])[:3], atol=1e-2
+    )
+    assert (s2["kp2d"][FINGERTIP_IDS][3:] == 0).all()

@@ -279,3 +279,45 @@ def test_train_cli_dlr_differential_rates(tmp_path):
                         jax.tree.leaves(init[k]))
     )
     assert moved
+
+
+def test_eval_cli_rhd_official_layout(tmp_path):
+    """finetune.evaluate --dataset rhd runs end-to-end over the OFFICIAL
+    RHD_published_v2 pickle layout (per-frame dicts), exercising side
+    selection, rhd->snap reorder, mirror, and mask-based crop scale
+    through the full eval pipeline."""
+    import pickle
+
+    cv2 = pytest.importorskip("cv2")
+
+    from simhand_tpu.finetune.evaluate import main as eval_main
+
+    root = tmp_path / "rhd"
+    (root / "evaluation" / "color").mkdir(parents=True)
+    (root / "evaluation" / "mask").mkdir()
+    rng = np.random.default_rng(7)
+    anno = {}
+    K = np.array([[280.0, 0, 160], [0, 280.0, 160], [0, 0, 1]], np.float32)
+    for i in range(8):
+        cv2.imwrite(str(root / "evaluation" / "color" / f"{i:05d}.png"),
+                    rng.integers(0, 255, (320, 320, 3), dtype=np.uint8))
+        mask = np.zeros((320, 320), np.uint8)
+        mask[100:220, 80:240] = 25       # right-hand segment
+        cv2.imwrite(str(root / "evaluation" / "mask" / f"{i:05d}.png"), mask)
+        xyz = np.zeros((42, 3), np.float32)
+        # right hand ~0.5 m deep, small spread -> projects in-image
+        xyz[21:] = rng.uniform(-0.04, 0.04, (21, 3)) + [0, 0, 0.5]
+        uvw = xyz[21:] @ K.T
+        uv_vis = np.zeros((42, 3), np.float32)
+        uv_vis[21:, :2] = uvw[:, :2] / uvw[:, 2:]
+        uv_vis[21:, 2] = 1.0
+        anno[i] = {"uv_vis": uv_vis, "xyz": xyz, "K": K}
+    with open(root / "evaluation" / "anno_evaluation.pickle", "wb") as f:
+        pickle.dump(anno, f)
+
+    m = eval_main([
+        "--dataset", "rhd", "--data_dir", str(root), "--split", "test",
+        "--backbone", "18", "--batch_size", "8", "--max_batches", "1",
+    ])
+    assert {"epe_mm_mean", "auc_20_50mm"} <= set(m)
+    assert np.isfinite(m["epe_mm_mean"])

@@ -53,20 +53,25 @@ def normalize_image(img_uint8: np.ndarray) -> np.ndarray:
 
 def convert_to_2_5d_np(K: np.ndarray, joints_3d: np.ndarray) -> np.ndarray:
     """Numpy twin of core.geometry.convert_to_2_5d for the host loader's
-    hot path (no per-sample jax dispatch). Every reference prep projects
-    camera-space joints to 2.5D pixel coords before augmenting
-    (data_set.py: convert_to_2_5D(sample['K'], sample['joints3D'])) —
-    for the Hand100M sources (K=I, depth 1.0) this is an x/y no-op with
-    z_rel=0, but for freihand/youtube it is what makes the crop geometry
-    see pixels instead of meters."""
+    hot path (no per-sample jax dispatch); accepts single (21, 3) or
+    batched (..., 21, 3) joints with a shared or per-sample K. Every
+    reference prep projects camera-space joints to 2.5D pixel coords
+    before augmenting (data_set.py: convert_to_2_5D(sample['K'],
+    sample['joints3D'])) — for the Hand100M sources (K=I, depth 1.0)
+    this is an x/y no-op with z_rel=0, but for freihand/youtube it is
+    what makes the crop geometry see pixels instead of meters."""
     from simhand_tpu.core.geometry import CHILD_JOINT, PARENT_JOINT
 
     j = np.asarray(joints_3d, np.float64)
-    scale = np.linalg.norm(j[CHILD_JOINT] - j[PARENT_JOINT])
-    proj = (np.asarray(K, np.float64) @ j.T).T / j[:, -1:]
-    z_rel = (j[:, -1] - j[PARENT_JOINT, -1]) / scale
+    K = np.asarray(K, np.float64)
+    scale = np.linalg.norm(
+        j[..., CHILD_JOINT, :] - j[..., PARENT_JOINT, :], axis=-1
+    )
+    proj = np.einsum("...ij,...kj->...ki", K, j) / j[..., -1:]
+    z_rel = (j[..., -1] - j[..., PARENT_JOINT, -1][..., None]
+             ) / scale[..., None]
     return np.concatenate(
-        [proj[:, :2], z_rel[:, None]], axis=1
+        [proj[..., :2], z_rel[..., None]], axis=-1
     ).astype(np.float32)
 
 
@@ -191,17 +196,9 @@ class PretrainDataset:
             pos = idx
 
         def to_25d(j):
-            # batched convert_to_2_5d with identity K (cache sources are
+            # batched conversion with identity K (cache sources are
             # Hand100M crops: pixel x/y, pseudo-depth) — matches raw_pair
-            from simhand_tpu.core.geometry import CHILD_JOINT, PARENT_JOINT
-
-            j = np.asarray(j, np.float64)
-            scale = np.linalg.norm(
-                j[:, CHILD_JOINT] - j[:, PARENT_JOINT], axis=-1
-            )
-            xy = j[..., :2] / j[..., 2:3]
-            z = (j[..., 2] - j[:, PARENT_JOINT, 2][:, None]) / scale[:, None]
-            return np.concatenate([xy, z[..., None]], -1).astype(np.float32)
+            return convert_to_2_5d_np(np.eye(3), j)
 
         return {
             "image1": src.gather_crops(idx),

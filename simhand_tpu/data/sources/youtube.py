@@ -57,15 +57,18 @@ class YoutubeSource:
         vertices = np.asarray(a["vertices"], np.float32)
         joints_mano = self.joints_from_mesh(vertices)
         joints3d = _JM.mano_to_ait(joints_mano).astype(np.float32)
-        # reference semantics (youtube_loader.py:160-170): left hands are
-        # flipped to right; joints_raw keeps the mesh depth while
-        # joints3D gets depth := 1.0 (identity K, like the mined crops);
-        # joints_valid is zeros — the pseudo-labels are not supervision
+        # reference semantics (youtube_loader.py:160-178): left hands are
+        # flipped to right; depth := 1.0 (identity K, like the mined
+        # crops); joints_valid is zeros — the pseudo-labels are not
+        # supervision. The loader computes a mesh-depth joints_raw but
+        # DROPS it from the sample dict, so the preps' fallback
+        # (data_set.py:379-383) makes the EFFECTIVE joints_raw the
+        # depth-1.0 joints3D — reproduced here.
         if int(a.get("is_left", 0)) == 1:
             img = cv2.flip(img, 1)
             joints3d[:, 0] = img.shape[1] - joints3d[:, 0]
-        joints_raw = joints3d.copy()
         joints3d[:, -1] = 1.0
+        joints_raw = joints3d.copy()
         return {
             "image": img,
             "image_name": img_name,

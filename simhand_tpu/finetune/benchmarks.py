@@ -700,8 +700,7 @@ def _parse_tip_rows(path: str, dims: int) -> np.ndarray:
     row PER LINE — partially-annotated tips become NaN instead of the
     line being dropped, preserving the row-index -> frame-filename
     pairing (the reference NaN-fills for exactly this reason,
-    egodexter.py:333); the 32001 invalid sentinel also maps to NaN
-    (dexter_object.py:153-155)."""
+    egodexter.py:333)."""
     rows = []
     with open(path) as f:
         for line in f:
@@ -723,7 +722,6 @@ def _parse_tip_rows(path: str, dims: int) -> np.ndarray:
                         vals[g] = [float(p) for p in parts[:dims]]
                     except ValueError:
                         pass
-            vals[np.abs(vals - 32001.0) < 1e-3] = np.nan
             rows.append(vals)
     return np.stack(rows) if rows else np.zeros((0, 5, dims), np.float32)
 
@@ -755,19 +753,27 @@ class DexterObject:
                     break
             if tips3d is not None:
                 for idx in range(len(tips3d)):
+                    raw = tips3d[idx].copy()
+                    # occlusion sentinel: z == 32001 invalidates the ROW
+                    # (dexter_object.py:153-155, exact match on z)
+                    raw[raw[:, 2] == 32001.0] = np.nan
                     # file values are mm; the reference divides by 1000
                     # at load then re-multiplies at projection — net raw
                     # mm into M_color (dexter_object.py:167,238)
-                    j = tips3d[idx] * np.array([-1.0, -1.0, 1.0], np.float32)
+                    j = raw * np.array([-1.0, -1.0, 1.0], np.float32)
                     valid = np.isfinite(j).all(axis=1)
                     h = np.concatenate(
                         [np.nan_to_num(j).T, np.ones((1, 5))], axis=0)
                     uv = DO_M_COLOR @ h
                     tips = (uv[:2] / uv[2]).T.astype(np.float32)
                     tips[~valid] = 0.0
+                    # 3D gt for the masked-tip protocol: joint_process
+                    # frame (x/y negated) in meters, NaN rows preserved
+                    # (dexter_object.py:167,230-236)
+                    t3d = (j / 1000.0).astype(np.float32)
                     self.samples.append(
                         (os.path.join(img_dir, f"color_{idx:05d}.png"),
-                         tips, True))
+                         tips, True, t3d))
                 continue
             # degraded fallback: depth-frame 2D tips (legacy {seq}.txt or
             # official {seq}2D.txt)
@@ -777,7 +783,7 @@ class DexterObject:
                     for idx, tips in enumerate(_parse_tip_rows(p, 2)):
                         self.samples.append(
                             (os.path.join(img_dir, f"color_{idx:05d}.png"),
-                             np.nan_to_num(tips), False))
+                             np.nan_to_num(tips), False, None))
                     break
 
     def __len__(self):
@@ -786,7 +792,7 @@ class DexterObject:
     def __getitem__(self, i: int) -> dict:
         import cv2
 
-        path, tips, color_frame = self.samples[i]
+        path, tips, color_frame, t3d = self.samples[i]
         img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
         tips = tips.copy()
         if color_frame:
@@ -797,8 +803,13 @@ class DexterObject:
             tips[valid, 0] = w - tips[valid, 0]
         kp2d = np.zeros((21, 2), np.float32)
         kp2d[FINGERTIP_IDS] = tips
-        return {"image": img, "K": None, "joint": None, "kp2d": kp2d,
-                "tip_only": True, **_tip_center_scale(tips)}
+        out = {"image": img, "K": None, "joint": None, "kp2d": kp2d,
+               "tip_only": True, **_tip_center_scale(tips)}
+        if t3d is not None:
+            t3d = t3d.copy()
+            t3d[:, 0] = -t3d[:, 0]       # flip with the mirrored image
+            out["tips_3d"] = t3d         # (5, 3) m, NaN rows invalid
+        return out
 
 
 # EgoDexter camera chain (reference egodexter.py:58-65): 3D tips (mm)
@@ -846,10 +857,14 @@ class EgoDexter:
                     uv = EO_M_COLOR @ h
                     tips = (uv[:2] / uv[2]).T.astype(np.float32)
                     tips[~valid] = 0.0
+                    # 3D gt for the masked-tip protocol: meters, NaN
+                    # rows invalid (egodexter.py:114,167-181)
+                    t3d = (j / 1000.0).astype(np.float32)
+                    t3d[~valid] = np.nan
                     self.samples.append(
                         (os.path.join(img_dir,
                                       f"image_{idx:05d}_color.png"),
-                         tips, True))
+                         tips, True, t3d))
                 continue
             anno = os.path.join(seq_dir, "annotation.txt")
             if not os.path.exists(anno):
@@ -860,7 +875,7 @@ class EgoDexter:
                     continue
                 self.samples.append(
                     (os.path.join(img_dir, f"image_{idx:05d}_color.png"),
-                     tips, False))
+                     tips, False, None))
 
     def __len__(self):
         return len(self.samples)
@@ -868,7 +883,7 @@ class EgoDexter:
     def __getitem__(self, i: int) -> dict:
         import cv2
 
-        path, tips, color_frame = self.samples[i]
+        path, tips, color_frame, t3d = self.samples[i]
         img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
         tips = tips.copy()
         h, w = img.shape[:2]
@@ -880,7 +895,12 @@ class EgoDexter:
         kp2d = np.zeros((21, 2), np.float32)
         kp2d[FINGERTIP_IDS] = tips
         # reference transform: CenterCrop(480, 480) on the 640x480 frame
-        return {"image": img, "K": None, "joint": None, "kp2d": kp2d,
-                "tip_only": True,
-                "center": np.array([w / 2.0, h / 2.0], np.float32),
-                "my_scale": np.float32(min(480.0, float(min(h, w))))}
+        out = {"image": img, "K": None, "joint": None, "kp2d": kp2d,
+               "tip_only": True,
+               "center": np.array([w / 2.0, h / 2.0], np.float32),
+               "my_scale": np.float32(min(480.0, float(min(h, w))))}
+        if t3d is not None:
+            t3d = t3d.copy()
+            t3d[:, 0] = -t3d[:, 0]       # flip with the mirrored image
+            out["tips_3d"] = t3d         # (5, 3) m, NaN rows invalid
+        return out

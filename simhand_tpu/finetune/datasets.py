@@ -369,6 +369,10 @@ class DetnetSampleBuilder:
                 }
             )
 
+        if sample.get("tips_3d") is not None:
+            # DO/EO 3D gt tips for the masked-tip eval protocol
+            out["tips_3d"] = np.asarray(sample["tips_3d"], np.float32)
+
         image = sample["image"]
         if self.train and self.color_jitter:
             # reference order: blur + color jitter on the full frame,
@@ -399,15 +403,18 @@ def detnet_batch_iterator(dataset, builder: DetnetSampleBuilder, batch_size: int
         for i in idxs:
             rng = np.random.default_rng([seed, epoch, int(i)])
             samples.append(builder(dataset[int(i)], rng))
-        keys = [k for k in samples[0] if k not in ("joint", "joint_root", "joint_bone")]
+        keys = [k for k in samples[0]
+                if k not in ("joint", "joint_root", "joint_bone", "tips_3d")]
         batch = {k: np.stack([s[k] for s in samples]) for k in keys}
-        # metric joints ride along only when the whole batch has them
-        # (mixed 2D/3D batches from composed datasets train fine — the
-        # loss gates 3D terms per-sample via flag_3d — but can't carry a
-        # ragged "joint" array)
+        # metric joints / DO-EO 3D tips ride along only when the whole
+        # batch has them (mixed 2D/3D batches from composed datasets
+        # train fine — the loss gates 3D terms per-sample via flag_3d —
+        # but can't carry a ragged array)
         if all("joint" in s for s in samples):
             for k in ("joint", "joint_root", "joint_bone"):
                 batch[k] = np.stack([s[k] for s in samples])
+        if all("tips_3d" in s for s in samples):
+            batch["tips_3d"] = np.stack([s["tips_3d"] for s in samples])
         yield batch
 
 

@@ -54,6 +54,7 @@ def evaluate_dataset(model, state, dataset, key: str, batch_size: int = 64,
     metric_eval = EvalUtil()       # aligned metric EPE (m)
     norm_eval = EvalUtil()         # normalized-frame EPE
     px_eval = EvalUtil()           # 2D pixel PCK
+    tip3d_eval = EvalUtil(num_kp=1)  # DO/EO masked 3D-tip protocol
     pre_joints = [] if dump_pre_joints else None
     n_batches = 0
     for batch in detnet_batch_iterator(dataset, builder, batch_size,
@@ -76,6 +77,17 @@ def evaluate_dataset(model, state, dataset, key: str, batch_size: int = 64,
                 # rows are no longer zero after the affine transform
                 vis = mask & np.asarray(batch["kp2d_valid"], bool)
             px_eval.feed(gt, uv, vis)
+            if "tips_3d" in batch:
+                # the reference's headline DO/EO metric: masked
+                # centroid/scale alignment of predicted tips onto the
+                # valid 3D gt tips, then metric EPE (align.py:27-57)
+                gt3, p3, counts = global_align(
+                    np.asarray(batch["tips_3d"], np.float64),
+                    np.asarray(preds["xyz"], np.float64), "do",
+                )
+                if len(gt3):
+                    tip3d_eval.feed(gt3.reshape(-1, 1, 3),
+                                    p3.reshape(-1, 1, 3))
         else:
             xyz = np.asarray(preds["xyz"], np.float64)      # normalized
             gt = np.asarray(batch["joint"], np.float64)
@@ -109,6 +121,15 @@ def evaluate_dataset(model, state, dataset, key: str, batch_size: int = 64,
             "pck@8px": float(curve[np.searchsorted(th, 8.0)]),
             "pck@16px": float(curve[np.searchsorted(th, 16.0)]),
         })
+        if tip3d_eval._dists:
+            epe_mean, _, epe_median, auc, _, _ = tip3d_eval.get_measures(
+                0.020, 0.050, 20
+            )
+            out.update({
+                "epe_mm_mean": epe_mean * 1000.0,
+                "epe_mm_median": epe_median * 1000.0,
+                "auc_20_50mm": auc,
+            })
     else:
         epe_mean, _, epe_median, auc, _, _ = metric_eval.get_measures(
             0.020, 0.050, 20

@@ -209,12 +209,15 @@ class AverageMeter:
 
 def heatmap_pck(pred_hm: np.ndarray, gt_hm: np.ndarray, veil: np.ndarray,
                 threshold: float = 0.5) -> float:
-    """Heatmap-space PCK: fraction of joints whose predicted argmax lies
-    within ``threshold * max(H, W) / 10`` pixels of the GT argmax
-    (reference: utils/eval/evalutils.py:54-76 accuracy/calc_dists).
-    Shapes: (B, H, W, J); veil (B, J)."""
+    """Heatmap-space PCK, the reference's exact protocol
+    (utils/eval/evalutils.py:29-76 accuracy_heatmap/calc_dists/dist_acc):
+    per-joint fraction of valid samples whose predicted argmax lies
+    within ``threshold * W / 10`` pixels of the GT argmax, MACRO-averaged
+    over joints with at least one valid sample. A sample-joint is
+    invalid when the veil is 0 OR its GT argmax row/col < 1 (empty or
+    border heatmap). Shapes: (B, H, W, J); veil (B, J)."""
     B, H, W, J = pred_hm.shape
-    norm = np.maximum(H, W) / 10.0
+    norm = W / 10.0                           # reference: output.size(3)/10
 
     def argmax2d(hm):
         flat = hm.reshape(B, H * W, J).argmax(axis=1)
@@ -223,7 +226,10 @@ def heatmap_pck(pred_hm: np.ndarray, gt_hm: np.ndarray, veil: np.ndarray,
     p = argmax2d(pred_hm)
     g = argmax2d(gt_hm)
     d = np.linalg.norm((p - g).astype(np.float64), axis=-1) / norm
-    valid = veil.astype(bool)
-    if not valid.any():
-        return 0.0
-    return float((d[valid] < threshold).mean())
+    valid = veil.astype(bool) & (g >= 1).all(axis=-1)
+    accs = []
+    for j in range(J):
+        dj = d[:, j][valid[:, j]]
+        if len(dj):
+            accs.append(float((dj < threshold).mean()))
+    return float(np.mean(accs)) if accs else 0.0

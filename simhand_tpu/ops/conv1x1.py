@@ -73,8 +73,10 @@ def _stats_epilogue(y, y_ref, s1_ref, s2_ref, acc1, acc2, i, n_i):
         s2_ref[...] = jnp.sum(acc2[...], axis=0, keepdims=True)
 
 
-def conv1x1_stats(x2d, w, interpret=None):
-    """y = x2d @ w (bf16 out) + per-channel (sum, sumsq) f32 epilogue."""
+def _stats_call(kernel, x2d, w, extra_ops=(), interpret=None):
+    """Shared tile-sizing/grid/spec plumbing for the stats-epilogue
+    matmul entry points (one place for the VMEM heuristic and the
+    cout-divisibility guard)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     m, cin = x2d.shape
@@ -96,13 +98,14 @@ def conv1x1_stats(x2d, w, interpret=None):
         )
     grid = (cout // tc, m // tm)
     r = 8 if tm % 8 == 0 else 1
+    scal_in = pl.BlockSpec((1, cin), lambda j, i: (0, 0))
     y, s1, s2 = pl.pallas_call(
-        _matmul_stats_kernel,
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tm, cin), lambda j, i: (i, 0)),
             pl.BlockSpec((cin, tc), lambda j, i: (0, j)),
-        ],
+        ] + [scal_in] * len(extra_ops),
         out_specs=[
             pl.BlockSpec((tm, tc), lambda j, i: (i, j)),
             pl.BlockSpec((1, tc), lambda j, i: (0, j)),
@@ -118,8 +121,13 @@ def conv1x1_stats(x2d, w, interpret=None):
             pltpu.VMEM((r, tc), jnp.float32),
         ],
         interpret=interpret,
-    )(x2d, w)
+    )(x2d, w, *extra_ops)
     return y, s1.reshape(cout), s2.reshape(cout)
+
+
+def conv1x1_stats(x2d, w, interpret=None):
+    """y = x2d @ w (bf16 out) + per-channel (sum, sumsq) f32 epilogue."""
+    return _stats_call(_matmul_stats_kernel, x2d, w, interpret=interpret)
 
 
 def conv1x1_bn_relu_stats(x2d, w, A, B, interpret=None):
@@ -127,47 +135,10 @@ def conv1x1_bn_relu_stats(x2d, w, A, B, interpret=None):
     chain link: consumes the PREVIOUS conv's raw output and applies its
     BN+ReLU on the fly, so that activation is never written post-BN.
     A, B: per-cin-channel f32 (scale*inv, bias - mu*scale*inv)."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    m, cin = x2d.shape
-    cout = w.shape[1]
-    tc = min(cout, 512)
-    tm = max(16, (1 << 21) // max(cin + 2 * tc, 256))
-    tm = 1 << (tm.bit_length() - 1)
-    tm = min(tm, m, 8192)
-    while m % tm:
-        tm //= 2
-    if cout % tc:
-        raise ValueError(
-            f"cout={cout} must be a multiple of the channel tile {tc} "
-            "(a floored grid would leave output columns unwritten)"
-        )
-    grid = (cout // tc, m // tm)
-    r = 8 if tm % 8 == 0 else 1
-    scal_in = pl.BlockSpec((1, cin), lambda j, i: (0, 0))
-    y, s1, s2 = pl.pallas_call(
-        _affine_matmul_stats_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tm, cin), lambda j, i: (i, 0)),
-            pl.BlockSpec((cin, tc), lambda j, i: (0, j)),
-            scal_in, scal_in,
-        ],
-        out_specs=[
-            pl.BlockSpec((tm, tc), lambda j, i: (i, j)),
-            pl.BlockSpec((1, tc), lambda j, i: (0, j)),
-            pl.BlockSpec((1, tc), lambda j, i: (0, j)),
-        ],
-        out_shape=(
-            jax.ShapeDtypeStruct((m, cout), x2d.dtype),
-            jax.ShapeDtypeStruct((1, cout), jnp.float32),
-            jax.ShapeDtypeStruct((1, cout), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((r, tc), jnp.float32),
-            pltpu.VMEM((r, tc), jnp.float32),
-        ],
+    cin = x2d.shape[1]
+    return _stats_call(
+        _affine_matmul_stats_kernel, x2d, w,
+        extra_ops=(A.reshape(1, cin).astype(jnp.float32),
+                   B.reshape(1, cin).astype(jnp.float32)),
         interpret=interpret,
-    )(x2d, w, A.reshape(1, cin).astype(jnp.float32),
-      B.reshape(1, cin).astype(jnp.float32))
-    return y, s1.reshape(cout), s2.reshape(cout)
+    )

@@ -399,11 +399,14 @@ def test_youtube_source(tmp_path):
         [reg @ verts.astype(np.float32), verts[list(TIP_VERTEX_IDS)]], axis=0
     )
     want = jm.mano_to_ait(want_mano)
-    # reference: joints_raw keeps the mesh depth, joints3D gets z := 1.0,
-    # joints_valid zeros (youtube_loader.py:160-171)
-    np.testing.assert_allclose(s["joints_raw"], want, atol=1e-5)
+    # reference effective semantics (youtube_loader.py:160-178 + the
+    # preps' joints_raw fallback): z := 1.0 in BOTH joints3D and
+    # joints_raw (the loader's mesh-depth joints_raw never reaches the
+    # sample dict); joints_valid zeros
     np.testing.assert_allclose(s["joints3D"][:, :2], want[:, :2], atol=1e-5)
     np.testing.assert_array_equal(s["joints3D"][:, 2], 1.0)
+    np.testing.assert_allclose(s["joints_raw"][:, :2], want[:, :2], atol=1e-5)
+    np.testing.assert_array_equal(s["joints_raw"][:, 2], 1.0)
     np.testing.assert_array_equal(s["joints_valid"], 0.0)
     np.testing.assert_array_equal(s["K"], np.eye(3))
 
@@ -412,7 +415,7 @@ def test_youtube_source(tmp_path):
     with open(tmp_path / "youtube_train.json", "w") as f:
         _json.dump(data, f)
     sl = YoutubeSource(str(tmp_path), "train", mano_regressor=reg)[0]
-    np.testing.assert_allclose(sl["joints_raw"][:, 0], 64 - want[:, 0],
+    np.testing.assert_allclose(sl["joints3D"][:, 0], 64 - want[:, 0],
                                atol=1e-5)
     np.testing.assert_array_equal(sl["image"], s["image"][:, ::-1])
 

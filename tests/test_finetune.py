@@ -416,3 +416,33 @@ def test_det_loss_mesh_matches_single_device():
             np.asarray(grad_m[k]), world * np.asarray(grad_s[k]),
             rtol=1e-5, atol=1e-7,
         )
+
+
+def test_heatmap_pck_reference_protocol():
+    """accuracy_heatmap semantics (evalutils.py:29-76): per-joint macro
+    average over joints with >=1 valid sample; sample-joints with GT
+    argmax row/col < 1 excluded; norm = W/10."""
+    from simhand_tpu.finetune.evaluation import heatmap_pck
+
+    B, H, W, J = 4, 32, 32, 3
+    gt = np.zeros((B, H, W, J), np.float32)
+    pred = np.zeros((B, H, W, J), np.float32)
+    veil = np.ones((B, J), np.float32)
+    # joint 0: all 4 samples correct (pred == gt peak at (10, 10))
+    gt[:, 10, 10, 0] = 1.0
+    pred[:, 10, 10, 0] = 1.0
+    # joint 1: 1 of 2 valid samples within thr (norm = 3.2, thr 0.5 ->
+    # 1.6 px); samples 2-3 veiled out
+    gt[:, 20, 20, 1] = 1.0
+    pred[0, 20, 21, 1] = 1.0          # dist 1 / 3.2  < 0.5  -> hit
+    pred[1, 20, 28, 1] = 1.0          # dist 8 / 3.2  > 0.5  -> miss
+    veil[2:, 1] = 0.0
+    pred[2:, 20, 20, 1] = 1.0         # would be hits, but veiled
+    # joint 2: GT argmax at the border (row 0) -> excluded entirely
+    gt[:, 0, 5, 2] = 1.0
+    pred[:, 0, 5, 2] = 1.0
+
+    got = heatmap_pck(pred, gt, veil)
+    # macro average over joints 0 (acc 1.0) and 1 (acc 0.5); joint 2
+    # contributes nothing
+    assert got == pytest.approx((1.0 + 0.5) / 2)

@@ -180,6 +180,30 @@ def test_eval_cli_synthetic_and_tip_only(tmp_path):
         "--backbone", "18", "--batch_size", "8", "--max_batches", "1",
     ])
     assert {"epe_px_mean", "pck@8px", "pck@16px"} <= set(m)
+    assert "epe_mm_mean" not in m    # 2D-only fixture: no 3D protocol
+
+    # with the official 3D tip files, the reference's masked-tip 3D
+    # metric (mm EPE + AUC 20-50mm after centroid/scale alignment,
+    # align.py:27-57) is ALSO reported
+    rng2 = np.random.default_rng(9)
+    d3 = tmp_path / "do3" / "data" / "Grasp1"
+    (d3 / "annotations").mkdir(parents=True)
+    (d3 / "color").mkdir()
+    t3 = np.zeros((8, 5, 3), np.float32)
+    t3[..., :2] = rng2.uniform(-60, 60, (8, 5, 2))
+    t3[..., 2] = rng2.uniform(400, 700, (8, 5))
+    (d3 / "annotations" / "my_Grasp13D.txt").write_text("\n".join(
+        "; ".join(", ".join(f"{v:.3f}" for v in tip) for tip in row)
+        for row in t3))
+    for i in range(8):
+        cv2.imwrite(str(d3 / "color" / f"color_{i:05d}.png"),
+                    rng2.integers(0, 255, (480, 640, 3), dtype=np.uint8))
+    m3 = eval_main([
+        "--dataset", "do", "--data_dir", str(tmp_path / "do3"),
+        "--backbone", "18", "--batch_size", "8", "--max_batches", "1",
+    ])
+    assert {"epe_px_mean", "epe_mm_mean", "auc_20_50mm"} <= set(m3)
+    assert np.isfinite(m3["epe_mm_mean"])
 
 
 @pytest.mark.slow

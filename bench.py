@@ -41,19 +41,24 @@ def peak_tflops(device) -> float:
     return PEAK_BF16_TFLOPS["cpu"]
 
 
-def main():
+def build_bench_setup():
+    """Env-driven construction of the EXACT benched program — the single
+    source of truth shared by ``main`` and ``scripts/profile_step.py``
+    (hand-duplicated construction drifted once: a profiled "variant" was
+    silently the baseline). Returns a dict with model/cfg/state/batch
+    plus the parsed knobs. Unknown BENCH_BN_FUSED values raise instead
+    of silently benching the exact-BN baseline (each config costs a
+    multi-minute remote compile)."""
     import jax
     import jax.numpy as jnp
 
     from simhand_tpu.models import ContrastiveModel
     from simhand_tpu.models.contrastive import ContrastiveConfig
-    from simhand_tpu.train import OptimizerConfig, create_train_state, make_train_step
+    from simhand_tpu.train import OptimizerConfig, create_train_state
 
     per_chip_batch = int(os.environ.get("BENCH_BATCH", "256"))
     side = int(os.environ.get("BENCH_SIDE", "128"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
-
-    device = jax.devices()[0]
 
     stem = os.environ.get("BENCH_STEM", "conv7")
     resnet_size = os.environ.get("BENCH_MODEL", "50")
@@ -62,8 +67,13 @@ def main():
     bn_fused_env = os.environ.get("BENCH_BN_FUSED", "0")
     if bn_fused_env in ("pallas", "epilogue", "epilogue_xla"):
         bn_fused = bn_fused_env
-    else:
+    elif bn_fused_env in ("0", "1"):
         bn_fused = bn_fused_env == "1"
+    else:
+        raise ValueError(
+            f"BENCH_BN_FUSED={bn_fused_env!r}: expected 0/1/pallas/"
+            "epilogue/epilogue_xla"
+        )
     accum = int(os.environ.get("BENCH_ACCUM", "1"))
     model = ContrastiveModel(
         resnet_size=resnet_size, dtype=jnp.bfloat16, stem=stem,
@@ -100,6 +110,23 @@ def main():
         "joints2_ori": rng.uniform(0, 1, (B, 21, 3)).astype(np.float32),
     }
     batch = {k: jax.device_put(jnp.asarray(v)) for k, v in batch.items()}
+    return {
+        "model": model, "cfg": cfg, "state": state, "batch": batch,
+        "B": B, "side": side, "steps": steps, "resnet_size": resnet_size,
+    }
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    setup = build_bench_setup()
+    model, cfg = setup["model"], setup["cfg"]
+    state, batch = setup["state"], setup["batch"]
+    B, side, steps = setup["B"], setup["side"], setup["steps"]
+    resnet_size = setup["resnet_size"]
+
+    device = jax.devices()[0]
 
     # Timing: N chained steps inside ONE jitted fori_loop with a *traced*
     # trip count — a single compile serves every N. Synchronization is by
@@ -133,7 +160,9 @@ def main():
         FWD_GFLOPS_224[resnet_size] * (side / 224.0) ** 2 * 3 * 2 * B
     )
 
-    k_small, k_big = max(steps // 4, 2), steps
+    k_small = max(steps // 4, 2)
+    k_big = max(steps, k_small + 4)   # distinct trip counts or the
+                                      # step-time quotient divides by zero
     # warm (single compile covers both trip counts), force fetch
     assert np.isfinite(float(run(state, batch, k_small)))
 

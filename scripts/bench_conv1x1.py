@@ -103,7 +103,8 @@ def main():
             def run(x, n):
                 return jax.lax.fori_loop(0, n, lambda _, xx: one(xx), x)
 
-            k_small, k_big = max(args.steps // 4, 2), args.steps
+            k_small = max(args.steps // 4, 2)
+            k_big = max(args.steps, k_small + 4)
             float(run(x0, k_small)[0, 0])
 
             def timed(n):

@@ -78,7 +78,8 @@ def main():
         _, loss = jax.lax.fori_loop(0, n, body, (state, jnp.float32(0)))
         return loss
 
-    k_small, k_big = max(steps // 4, 2), steps
+    k_small = max(steps // 4, 2)
+    k_big = max(steps, k_small + 4)
     assert np.isfinite(float(run(state, batch, k_small)))
 
     def timed(n):

@@ -147,7 +147,8 @@ def main():
             def run(g, rs, n):
                 return jax.lax.fori_loop(0, n, lambda _, gg: one(gg, rs), g)
 
-            k_small, k_big = max(args.steps // 4, 2), args.steps
+            k_small = max(args.steps // 4, 2)
+            k_big = max(args.steps, k_small + 4)
             float(run(g0, res, k_small)[0, 0])  # compile + warm
 
             def timed(n):
@@ -159,7 +160,7 @@ def main():
             t_small = min(timed(k_small) for _ in range(3))
             t_big = min(timed(k_big) for _ in range(3))
             dt = max((t_big - t_small) / (k_big - k_small), 1e-9)
-            planes = {"ka": 2, "kb": 3}.get(args.mode, 5)
+            planes = {"ka": 2, "kb": 3, "fwdbwd": 7}.get(args.mode, 5)
             traffic = planes * m * c * 2  # bf16 planes moved
             gbps = traffic / dt / 1e9
             print(json.dumps({

@@ -44,10 +44,22 @@ def main():
     anno = os.path.join(
         args.root, "annotations", "100DOH", "Hand100M_100DOH_bench_v1-1.json"
     )
-    if not os.path.exists(anno):
+    marker = os.path.join(args.root, ".bench_corpus_n")
+    stale = True
+    if os.path.exists(anno) and os.path.exists(marker):
+        with open(marker) as f:
+            stale = f.read().strip() != str(args.n)
+    if stale:
+        # regenerate whenever --n changed — silently reusing a smaller
+        # (page-cache-resident) corpus overstates sustained throughput
+        import shutil
+
+        shutil.rmtree(args.root, ignore_errors=True)
         generate_synthetic_hand100m(
             args.root, num_images=args.n, num_videos=64, scale="bench"
         )
+        with open(marker, "w") as f:
+            f.write(str(args.n))
     src = Hand100MSource(args.root, source="100doh", scale="bench")
 
     cache_dir = os.path.join(args.root, "cache")

@@ -19,6 +19,44 @@ def main(which: str = "encoder_bf16"):
 
     from simhand_tpu.models import ContrastiveModel
 
+    if which == "full_bf16":
+        # the FULL train step is exactly what bench.py measures — run it
+        # through the shared builder instead of a mislabeled duplicate
+        # of the encoder-only program
+        import bench
+        from simhand_tpu.train.loop import _step_fn
+
+        setup = bench.build_bench_setup()
+
+        @jax.jit
+        def run_full(state, batch, n):
+            def body(_, carry):
+                s, _ = carry
+                s2, m = _step_fn(s, batch, model=setup["model"],
+                                 cfg=setup["cfg"], axis_name=None)
+                return s2, {"contrastive_loss": m["contrastive_loss"]}
+            _, m = jax.lax.fori_loop(
+                0, n, body,
+                (state, {"contrastive_loss": jnp.float32(0)}))
+            return m["contrastive_loss"]
+
+        print(f"[{which}] compiling...", flush=True)
+        t0 = time.perf_counter()
+        _ = float(run_full(setup["state"], setup["batch"], 2))
+        print(f"compile+2steps: {time.perf_counter() - t0:.1f}s", flush=True)
+
+        def timed(n):
+            t0 = time.perf_counter()
+            _ = float(run_full(setup["state"], setup["batch"], n))
+            return time.perf_counter() - t0
+
+        t_small = min(timed(4) for _ in range(3))
+        t_big = min(timed(16) for _ in range(3))
+        step_t = (t_big - t_small) / 12
+        print(f"[{which}] {step_t * 1e3:.2f} ms/step, "
+              f"{setup['B'] / step_t:.0f} img/s", flush=True)
+        return
+
     B, side = 256, 128
     dtype = jnp.float32 if which.endswith("f32") else jnp.bfloat16
     model = ContrastiveModel(resnet_size="50", dtype=dtype)

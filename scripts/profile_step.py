@@ -41,52 +41,16 @@ def main():
     args = p.parse_args()
 
     import jax
-    import jax.numpy as jnp
 
-    # reuse bench.py's model/step construction exactly
-    os.environ.setdefault("BENCH_STEPS", str(max(args.steps, 2)))
+    # the EXACT benched program, via bench.py's shared builder (all
+    # BENCH_* knobs honored — hand-duplicated construction drifted once
+    # and profiled the baseline while labeling it a variant)
     import bench
 
-    from simhand_tpu.models import ContrastiveModel
-    from simhand_tpu.models.contrastive import ContrastiveConfig
-    from simhand_tpu.train import (
-        OptimizerConfig,
-        create_train_state,
-        make_train_step,
-    )
+    setup = bench.build_bench_setup()
+    model, cfg = setup["model"], setup["cfg"]
+    state, batch = setup["state"], setup["batch"]
 
-    B = int(os.environ.get("BENCH_BATCH", "256"))
-    side = int(os.environ.get("BENCH_SIDE", "128"))
-    model = ContrastiveModel(
-        resnet_size=os.environ.get("BENCH_MODEL", "50"), dtype=jnp.bfloat16,
-        bn_stop_gradient_stats=os.environ.get("BENCH_BN_SG", "0") == "1",
-        bn_fused=os.environ.get("BENCH_BN_FUSED", "0") == "1",
-    )
-    cfg = ContrastiveConfig(
-        experiment_type="simhand_w",
-        augmentation=("crop", "rotate", "resize"),
-        image_side=float(side),
-    )
-    state = create_train_state(
-        model, OptimizerConfig(train_iters_per_epoch=1000, epochs=100),
-        jax.random.key(0), input_shape=(2, side, side, 3),
-    )
-    rng = np.random.default_rng(0)
-    batch = {
-        "transformed_image1": rng.normal(size=(B, side, side, 3)).astype(np.float32),
-        "transformed_image2": rng.normal(size=(B, side, side, 3)).astype(np.float32),
-        "jitter_x_1": rng.uniform(-10, 0, B).astype(np.float32),
-        "jitter_x_2": rng.uniform(-10, 0, B).astype(np.float32),
-        "jitter_y_1": rng.uniform(-10, 0, B).astype(np.float32),
-        "jitter_y_2": rng.uniform(-10, 0, B).astype(np.float32),
-        "angle_1": rng.uniform(-45, 45, B).astype(np.float32),
-        "angle_2": rng.uniform(-45, 45, B).astype(np.float32),
-        "joints1_aug": rng.uniform(0, side, (B, 21, 3)).astype(np.float32),
-        "joints2_aug": rng.uniform(0, side, (B, 21, 3)).astype(np.float32),
-        "joints1_ori": rng.uniform(0, 1, (B, 21, 3)).astype(np.float32),
-        "joints2_ori": rng.uniform(0, 1, (B, 21, 3)).astype(np.float32),
-    }
-    batch = {k: jax.device_put(jnp.asarray(v)) for k, v in batch.items()}
     # step WITHOUT donation so it can repeat under the trace
     from functools import partial
 

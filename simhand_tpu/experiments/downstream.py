@@ -24,7 +24,32 @@ def main(argv=None):
     p.add_argument("--data_dir", required=True, help="FreiHAND root")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--max_batches", type=int, default=None)
+    # Accepted-and-ignored reference flags (src/experiments/utils.py:
+    # 246-260 `-contrastive`/`-pairwise`, 521-526 `-num_of_checkpoints`).
+    # The downstream parser there accepts them but the evaluation path
+    # never reads them; kept so reference invocations parse unchanged,
+    # like the `-gpus`/`-flip` flags on the pretrain CLI.
+    p.add_argument(
+        "-contrastive", action="append", default=[],
+        choices=["rotate", "crop", "color_jitter"],
+        help="(reference-compat, ignored) contrastive augmentations",
+    )
+    p.add_argument(
+        "-pairwise", action="append", default=[],
+        choices=["rotate", "crop", "color_jitter"],
+        help="(reference-compat, ignored) pairwise augmentations",
+    )
+    p.add_argument(
+        "-num_of_checkpoints", type=int, default=-1,
+        help="(reference-compat, ignored) checkpoints to fine-tune",
+    )
     args = p.parse_args(argv)
+    if args.contrastive or args.pairwise or args.num_of_checkpoints != -1:
+        logger.warning(
+            "-contrastive/-pairwise/-num_of_checkpoints are accepted for "
+            "reference CLI compatibility but ignored (the reference's "
+            "downstream_evaluation never reads them)"
+        )
 
     logging.basicConfig(level=logging.INFO)
 

@@ -559,3 +559,20 @@ def test_extract_frames_manifest_formats(tmp_path):
     ef_main(["--manifest", str(doh), "--video_dir", str(vdir),
              "--out_dir", str(out2), "--stride", "1"])
     assert len(os.listdir(out2 / "vid-b")) == 3
+
+
+def test_downstream_cli_reference_compat_flags(tmp_path):
+    """The downstream CLI accepts the reference parser's -contrastive /
+    -pairwise / -num_of_checkpoints flags (src/experiments/utils.py:
+    246-260,521-526) — accepted-and-ignored, like -gpus on the pretrain
+    CLI."""
+    from simhand_tpu.experiments.downstream import main as ds_main
+
+    _make_freihand_fixture(str(tmp_path), 6)
+    metrics = ds_main([
+        "--data_dir", str(tmp_path), "--resnet_size", "18",
+        "--batch_size", "4", "--max_batches", "1",
+        "-contrastive", "rotate", "-contrastive", "crop",
+        "-pairwise", "color_jitter", "-num_of_checkpoints", "3",
+    ])
+    assert metrics is not None

@@ -5,6 +5,7 @@ import numpy as np
 from simhand_tpu.utils.logging import MetricLogger, register_experiment
 from simhand_tpu.utils.plots import (
     denormalize,
+    heatmaps_vis,
     plot_pair_images,
     plot_pck_curve,
     plot_truth_vs_prediction,
@@ -40,3 +41,23 @@ def test_plot_helpers_render():
     assert fig2 is not None
     d = denormalize(img)
     assert d.min() >= 0 and d.max() <= 1
+
+
+def test_heatmaps_vis_io_mode(tmp_path):
+    """hp_vis.py:heatmaps_vis parity: 'IO' mode writes
+    batch_idx_<i>/combined_{1,2}.png (original | colormapped heatmap);
+    non-IO modes raise, matching the reference's only-implemented mode."""
+    import pytest
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "transformed_image1": rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32),
+        "transformed_image2": rng.uniform(0, 2, (1, 32, 32, 3)).astype(np.float32),
+    }
+    enc = rng.normal(size=(2, 8, 8)).astype(np.float32)
+    paths = heatmaps_vis(3, batch, enc, str(tmp_path))
+    assert [os.path.basename(p) for p in paths] == ["combined_1.png", "combined_2.png"]
+    assert all(os.path.dirname(p).endswith("batch_idx_3") for p in paths)
+    assert all(os.path.getsize(p) > 0 for p in paths)
+    with pytest.raises(NotImplementedError):
+        heatmaps_vis(0, batch, enc, str(tmp_path), vis_type="P")

@@ -75,10 +75,14 @@ def build_bench_setup():
             "epilogue/epilogue_xla"
         )
     accum = int(os.environ.get("BENCH_ACCUM", "1"))
+    # BENCH_CONV1X1_FUSE=<min_cin>: Mosaic fused conv1x1+BN sites
+    # (models/fused_conv.py); 512 = only where the kernel beats XLA
+    conv1x1_fuse = int(os.environ.get("BENCH_CONV1X1_FUSE", "0"))
     model = ContrastiveModel(
         resnet_size=resnet_size, dtype=jnp.bfloat16, stem=stem,
         bn_subsample=bn_subsample, bn_stop_gradient_stats=bn_sg,
         bn_fused=bn_fused,
+        conv1x1_fuse_min_cin=conv1x1_fuse,
         remat=os.environ.get("BENCH_REMAT", "0") == "1",
     )
     opt_cfg = OptimizerConfig(train_iters_per_epoch=1000, epochs=100,

@@ -1,0 +1,134 @@
+"""Does pre-training transfer? The miniature of the reference's headline
+claim (README.md:22 — SiMHand pre-training improves FreiHAND/DexYCB/AH
+fine-tuning by 15/10/4%), runnable on CPU with synthetic data.
+
+Both arms fine-tune detnet (rn18) on the `synthetic-hand` dataset (color
+blobs at the keypoints over noise — the same visual statistic as the
+synthetic pretrain corpus) with an identical budget; arm (b) first
+pre-trains a simhand_w encoder on the synthetic Hand100M corpus and
+initializes the backbone from the exported .pth.
+
+Prints one JSON line: {"random": {...}, "pretrained": {...}} with the
+fine-tune's final-epoch heatmap loss and the held-out hm_pck / EPE.
+
+Usage:
+    PYTHONPATH= JAX_PLATFORMS=cpu python scripts/transfer_check.py \
+        --pretrain_steps 60 --finetune_steps 60 [--bn_variant stop_grad]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_transfer_check(
+    workdir: str,
+    pretrain_steps: int = 60,
+    finetune_steps: int = 60,
+    batch_size: int = 16,
+    bn_variant: str = "exact",
+    lr: float = 3e-4,
+) -> dict:
+    """Runs both arms; returns {"random": metrics, "pretrained": metrics}.
+
+    metrics: final-epoch mean heatmap loss (lossH), held-out hm_pck and
+    epe (synthetic-hand val split, the seed-1 draw).
+    """
+    import numpy as np
+
+    from simhand_tpu.finetune.train import main as ft_main
+
+    os.environ.setdefault("BASE_PATH", os.path.join(workdir, "runs"))
+
+    # epochs sized so the final epoch lands exactly on the step budget
+    # (the trainer evals + checkpoints on the last epoch)
+    n_train = max(batch_size * 2, 64)
+    steps_per_epoch = max(n_train // batch_size, 1)
+    ft_epochs = -(-finetune_steps // steps_per_epoch)
+
+    def finetune(out_dir: str, pretrain: str | None) -> dict:
+        args = [
+            "--dataset", "synthetic-hand", "--backbone", "18",
+            "--epochs", str(ft_epochs), "--batch_size", str(batch_size),
+            "--max_steps", str(finetune_steps),
+            "--eval_every", str(ft_epochs),  # final-epoch eval only
+            "--lr", str(lr),
+            "--out_dir", out_dir,
+        ]
+        if pretrain:
+            args += ["--pretrain", pretrain, "--lr_strategy", "DLR",
+                     "--lr_head", str(lr)]
+        ft_main(args)
+        lossH = np.load(os.path.join(out_dir, "lossH.npy"))
+        acc = np.load(os.path.join(out_dir, "acc_hm_all.npy"),
+                      allow_pickle=True).item()
+        auc = np.load(os.path.join(out_dir, "auc_all.npy"),
+                      allow_pickle=True).item()
+        key = next(iter(acc))
+        return {
+            "lossH_final": float(lossH[-1, 1]),
+            "hm_pck": float(acc[key][-1][1]),
+            "auc": float(auc[key][-1][1]) if auc else float("nan"),
+        }
+
+    # --- arm (a): random init -------------------------------------------
+    random_metrics = finetune(os.path.join(workdir, "ft_random"), None)
+
+    # --- arm (b): brief simhand_w pretrain on the synthetic corpus ------
+    from simhand_tpu.data.sources.synthetic import generate_synthetic_hand100m
+
+    data_dir = os.path.join(workdir, "data")
+    generate_synthetic_hand100m(data_dir, num_images=128, num_videos=16,
+                                seed=0)
+    pth = os.path.join(workdir, "encoder_pretrained.pth")
+    from simhand_tpu.experiments import main as pretrain_main
+
+    argv = [
+        "main.py", "--experiment_type", "simhand_w", "--crop", "--resize",
+        "--rotate", "-sources", "synthetic", "-batch_size",
+        str(batch_size), "-resnet_size", "18",
+        "--data_dir", data_dir, "-experiment_name", "transfer_check",
+        "-epochs", str(-(-pretrain_steps * batch_size // 128)),
+        "--max_steps", str(pretrain_steps),
+        "--export_torch", pth, "--bn_variant", bn_variant,
+    ]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        pretrain_main.main()
+    finally:
+        sys.argv = old
+
+    pretrained_metrics = finetune(os.path.join(workdir, "ft_pretrained"), pth)
+    return {"random": random_metrics, "pretrained": pretrained_metrics}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--pretrain_steps", type=int, default=60)
+    p.add_argument("--finetune_steps", type=int, default=60)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--bn_variant", default="exact")
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--workdir", default=None)
+    args = p.parse_args(argv)
+
+    import logging
+
+    logging.basicConfig(level=logging.INFO)
+    workdir = args.workdir or tempfile.mkdtemp(prefix="transfer_check_")
+    result = run_transfer_check(
+        workdir, args.pretrain_steps, args.finetune_steps,
+        args.batch_size, args.bn_variant, args.lr,
+    )
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

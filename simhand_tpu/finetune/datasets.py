@@ -106,12 +106,23 @@ class FreiHand:
 
 
 class SyntheticPoseDataset:
-    """File-free dataset with the FreiHand sample schema (tests/smoke)."""
+    """File-free dataset with the FreiHand sample schema (tests/smoke).
 
-    def __init__(self, n: int = 32, side: int = 224, seed: int = 0):
+    ``render_joints=False`` (default) yields pure-noise images — enough
+    for shape/plumbing tests but with NO image<->pose correlation.
+    ``render_joints=True`` draws a color blob at every keypoint over the
+    noise, the same visual statistic as the synthetic pretrain corpus
+    (data/sources/synthetic.py:_render_hand), so learning — and transfer
+    from a pretrained encoder — is actually possible (registry key
+    ``synthetic-hand``; used by the pretraining-transfers check).
+    """
+
+    def __init__(self, n: int = 32, side: int = 224, seed: int = 0,
+                 render_joints: bool = False):
         self.n = n
         self.side = side
         self.seed = seed
+        self.render_joints = render_joints
 
     def __len__(self):
         return self.n
@@ -127,6 +138,12 @@ class SyntheticPoseDataset:
         kp2d = (K @ xyz.T).T
         kp2d = (kp2d[:, :2] / kp2d[:, 2:]).astype(np.float32)
         img = rng.integers(0, 255, (self.side, self.side, 3), dtype=np.uint8)
+        if self.render_joints:
+            color = rng.integers(100, 255, size=3)
+            for x, y in kp2d.astype(np.int32):
+                x0, x1 = max(x - 2, 0), min(x + 3, self.side)
+                y0, y1 = max(y - 2, 0), min(y + 3, self.side)
+                img[y0:y1, x0:x1] = color
         return {"image": img, "K": K, "joint": xyz, "kp2d": kp2d}
 
 

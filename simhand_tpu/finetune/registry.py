@@ -60,6 +60,10 @@ def get_dataset(name: str, root_dir: str, split: str = "train", **kw) -> Any:
         from simhand_tpu.finetune.datasets import SyntheticPoseDataset
 
         return SyntheticPoseDataset(**kw)
+    if name == "synthetic-hand":
+        from simhand_tpu.finetune.datasets import SyntheticPoseDataset
+
+        return SyntheticPoseDataset(render_joints=True, **kw)
     raise KeyError(f"unknown dataset {name!r}")
 
 
@@ -67,12 +71,13 @@ DATASET_KEYS = (
     "freihand", "fh", "dexycb", "dy", "assemblyhands", "ah", "ah-ego",
     "ah-exo", "stb", "rhd", "cmu", "hand_labels", "hand143", "panoptic",
     "ganerated", "gan", "dexter_object", "do", "egodexter", "eo",
-    "ego4d_hands", "ego4d", "synthetic",
+    "ego4d_hands", "ego4d", "synthetic", "synthetic-hand",
 )
 
 # keys whose constructor takes no split argument
 _NO_SPLIT = {"hand143", "panoptic", "ganerated", "gan", "dexter_object",
-             "do", "egodexter", "eo", "ego4d_hands", "ego4d", "synthetic"}
+             "do", "egodexter", "eo", "ego4d_hands", "ego4d", "synthetic",
+             "synthetic-hand"}
 
 
 def build_composed_dataset(
@@ -112,7 +117,7 @@ def build_composed_dataset(
         key = name.lower()
         if key in ("dexycb", "dy"):
             kw["setup"] = setup
-        if key == "synthetic":
+        if key in ("synthetic", "synthetic-hand"):
             kw["n"] = synthetic_n
             kw["seed"] = 0 if split == "train" else 1
         if key in _NO_SPLIT:

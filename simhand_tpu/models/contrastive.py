@@ -104,6 +104,9 @@ class ContrastiveModel(nn.Module):
     bn_subsample: int = 1
     bn_stop_gradient_stats: bool = False
     bn_fused: bool | str = False
+    # >0: Mosaic fused conv1x1+BN at bottleneck sites with cin >= this
+    # (models/fused_conv.py); 512 = the shapes where the kernel wins
+    conv1x1_fuse_min_cin: int = 0
 
     def setup(self):
         enc_cls = RESNETS[self.resnet_size]
@@ -112,6 +115,7 @@ class ContrastiveModel(nn.Module):
             bn_subsample=self.bn_subsample,
             bn_stop_gradient_stats=self.bn_stop_gradient_stats,
             bn_fused=self.bn_fused,
+            conv1x1_fuse_min_cin=self.conv1x1_fuse_min_cin,
         )
         if self.remat:
             # static_argnums indexes (module, x, train) — `train` must be

@@ -33,6 +33,10 @@ class BasicBlock(nn.Module):
     # fused BN(+add)+ReLU module (models/bn_epilogue.BNRelu); when set,
     # every bn+relu site goes through its custom-VJP kernels
     act_norm: ModuleDef | None = None
+    # accepted for uniformity with Bottleneck; basic blocks have no
+    # stride-1 1x1 conv sites, so these are unused
+    fuse_min_cin: int = 0
+    fused_site: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -62,22 +66,40 @@ class Bottleneck(nn.Module):
     norm: ModuleDef
     expansion: int = 4
     act_norm: ModuleDef | None = None
+    # Mosaic fused conv1x1+BN (models/fused_conv.py), applied at stride-1
+    # 1x1 sites whose cin >= this threshold (0 = off). The kernel-level
+    # win only exists for cin >= 512 (scripts/bench_conv1x1.py).
+    fuse_min_cin: int = 0
+    fused_site: Any = None
+
+    def _conv_bn_site(self, x, features, conv_name, bn_name):
+        """conv1x1+BN (no activation): fused Mosaic path when enabled and
+        profitable for this shape, else the plain conv+norm pair."""
+        if self.fused_site is not None and x.shape[-1] >= self.fuse_min_cin:
+            return self.fused_site(self, x, features, conv_name, bn_name)
+        y = self.conv(features, (1, 1), name=conv_name)(x)
+        return self.norm(name=bn_name)(y)
 
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = self.conv(self.filters, (1, 1), name="conv1")(x)
         if self.act_norm is not None:
+            y = self.conv(self.filters, (1, 1), name="conv1")(x)
             y = self.act_norm(name="bn1")(y)
         else:
-            y = nn.relu(self.norm(name="bn1")(y))
+            y = nn.relu(self._conv_bn_site(x, self.filters, "conv1", "bn1"))
         y = self.conv(self.filters, (3, 3), (self.strides, self.strides), name="conv2")(y)
         if self.act_norm is not None:
             y = self.act_norm(name="bn2")(y)
         else:
             y = nn.relu(self.norm(name="bn2")(y))
-        y = self.conv(self.filters * self.expansion, (1, 1), name="conv3")(y)
-        if residual.shape != y.shape:
+        if self.act_norm is not None:
+            y = self.conv(self.filters * self.expansion, (1, 1), name="conv3")(y)
+        else:
+            y3 = self._conv_bn_site(
+                y, self.filters * self.expansion, "conv3", "bn3"
+            )
+        if residual.shape[-1] != self.filters * self.expansion or self.strides != 1:
             residual = self.conv(
                 self.filters * self.expansion,
                 (1, 1),
@@ -87,7 +109,7 @@ class Bottleneck(nn.Module):
             residual = self.norm(name="downsample_bn")(residual)
         if self.act_norm is not None:
             return self.act_norm(name="bn3")(y, residual)
-        return nn.relu(self.norm(name="bn3")(y) + residual)
+        return nn.relu(y3 + residual)
 
 
 class ResNet(nn.Module):
@@ -130,6 +152,13 @@ class ResNet(nn.Module):
     # bn+relu / bn+add+relu site through models/bn_epilogue's custom-VJP
     # (Mosaic kernels / XLA-codegen reference) — exact flax-BN numerics.
     bn_fused: bool | str = False
+    # >0: route stride-1 bottleneck 1x1 conv+BN sites with cin >= this
+    # threshold through the Mosaic matmul-with-BN-stats-epilogue kernel
+    # (models/fused_conv.py; exact flax-BN numerics, analytic backward).
+    # 512 = only the shapes where the kernel beats XLA
+    # (scripts/bench_conv1x1.py). Train-mode only; mutually exclusive
+    # with the bn_fused/bn_subsample/stop-gradient variants.
+    conv1x1_fuse_min_cin: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -220,6 +249,26 @@ class ResNet(nn.Module):
             x = nn.relu(norm(name="bn1")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
+        fused_site = None
+        if self.conv1x1_fuse_min_cin and train:
+            if (self.bn_fused or self.bn_subsample > 1
+                    or self.bn_stop_gradient_stats):
+                raise NotImplementedError(
+                    "conv1x1_fuse_min_cin composes only with exact flax "
+                    "BN (it owns the whole conv+BN site); disable the "
+                    "bn_fused/bn_subsample/stop-gradient variants"
+                )
+            from simhand_tpu.models.fused_conv import fused_conv_bn_site
+
+            fused_site = partial(
+                fused_conv_bn_site,
+                train=True,
+                momentum=self.norm_momentum,
+                epsilon=self.norm_epsilon,
+                dtype=self.dtype,
+                axis_name=self.bn_axis_name,
+            )
+
         for stage, num_blocks in enumerate(self.stage_sizes):
             for b in range(num_blocks):
                 strides = 2 if stage > 0 and b == 0 else 1
@@ -229,6 +278,8 @@ class ResNet(nn.Module):
                     conv=conv,
                     norm=norm,
                     act_norm=act_norm,
+                    fuse_min_cin=self.conv1x1_fuse_min_cin,
+                    fused_site=fused_site,
                     name=f"layer{stage + 1}_{b}",
                 )(x)
 

@@ -120,11 +120,110 @@ def build_bench_setup():
     }
 
 
+def bench_cache_fed(setup):
+    """BENCH_INPUT=cache: the COMPOSED production input seam — packed
+    crop cache + native gather -> threaded host batches -> async H2D ->
+    device-augmented train step (the exact `--cache_dir --device_augment`
+    path of experiments/main.py). One measured number for VERDICT round-2
+    item 4: does the real host->chip chain sustain the synthetic-feed
+    rate?
+
+    NOTE (honesty): on this axon-tunneled host the H2D copies cross the
+    tunnel, so the composed number LOWER-BOUNDS what a production TPU
+    host (local PCIe) sustains; the JSON carries host-assembly and
+    synthetic-feed context numbers alongside.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from simhand_tpu.data.augment_cv2 import AugmentFlags, AugmentParams
+    from simhand_tpu.data.cache import CachedHand100MSource, build_crop_cache
+    from simhand_tpu.data.pipeline import PretrainDataset, batch_iterator
+    from simhand_tpu.data.sources import generate_synthetic_hand100m
+    from simhand_tpu.parallel.mesh import device_prefetch
+    from simhand_tpu.train.loop import make_train_step
+
+    model, cfg, state = setup["model"], setup["cfg"], setup["state"]
+    B, side = setup["B"], setup["side"]
+    n_corpus = int(os.environ.get("BENCH_INPUT_N", "8192"))
+    root = os.environ.get("BENCH_INPUT_ROOT", "/tmp/simhand_bench_cache")
+
+    cache_dir = os.path.join(root, f"cache_{n_corpus}")
+    if not os.path.exists(os.path.join(cache_dir, "index.json")):
+        from simhand_tpu.data.sources.hand100m import Hand100MSource
+
+        generate_synthetic_hand100m(
+            root, num_images=n_corpus, num_videos=64, scale="bench"
+        )
+        build_crop_cache(
+            Hand100MSource(root, source="100doh", scale="bench"), cache_dir
+        )
+    source = CachedHand100MSource(cache_dir)
+
+    flags = AugmentFlags(crop=True, resize=True, rotate=True)
+    params = AugmentParams()
+    dataset = PretrainDataset(source, "simhand_w", flags, params)
+    step_fn = make_train_step(model, cfg, mesh=None,
+                              augment=(flags, params, side))
+
+    def epoch_iter(epoch):
+        host = batch_iterator(dataset, B, seed=0, epoch=epoch,
+                              num_threads=16, raw=True)
+        return device_prefetch(host, None)
+
+    # warmup epoch 0 partial: compile + pipeline fill
+    it = epoch_iter(0)
+    state, metrics = step_fn(state, next(it))
+    assert np.isfinite(float(metrics["contrastive_loss"]))
+
+    # host-assembly-only rate (no device work): how fast the cache +
+    # gather + threaded batcher produce raw batches
+    t0 = time.perf_counter()
+    n_host = 0
+    for batch in batch_iterator(dataset, B, seed=0, epoch=99,
+                                num_threads=16, raw=True):
+        n_host += 1
+    host_rate = n_host * B / (time.perf_counter() - t0)
+
+    # composed steady-state: stream epochs, fetch only the final loss
+    n_steps = 0
+    warm = 3
+    t_start = None
+    last = None
+    for epoch in range(1, 100):
+        for batch in epoch_iter(epoch):
+            state, metrics = step_fn(state, batch)
+            last = metrics["contrastive_loss"]
+            n_steps += 1
+            if n_steps == warm:
+                # drain the queue, then time from here
+                assert np.isfinite(float(last))
+                t_start = time.perf_counter()
+        if n_steps >= warm + int(os.environ.get("BENCH_INPUT_STEPS", "48")):
+            break
+    assert np.isfinite(float(last))  # synchronizes the whole queue
+    dt = time.perf_counter() - t_start
+    composed = (n_steps - warm) * B / dt
+
+    print(json.dumps({
+        "metric": "pretrain_images_per_sec_per_chip_cachefed",
+        "value": round(composed, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(composed / 4077.0, 4),
+        "host_assembly_images_per_sec": round(host_rate, 2),
+        "steps": n_steps - warm,
+        "note": "H2D crosses the axon tunnel on this host; production "
+                "PCIe hosts only do better",
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     setup = build_bench_setup()
+    if os.environ.get("BENCH_INPUT", "synthetic") == "cache":
+        return bench_cache_fed(setup)
     model, cfg = setup["model"], setup["cfg"]
     state, batch = setup["state"], setup["batch"]
     B, side, steps = setup["B"], setup["side"], setup["steps"]

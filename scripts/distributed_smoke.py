@@ -1,0 +1,189 @@
+"""Two-process jax.distributed smoke: the multi-host seam for real.
+
+VERDICT round-2 item 5: every mesh test runs single-process, so
+``shard_batch``'s ``make_array_from_process_local_data`` branch (and the
+replicated-state assembly) was design-only. This script launches TWO
+``jax.distributed`` CPU processes (4 virtual devices each -> one 8-device
+global mesh), runs ONE sharded simhand_w train step where each process
+feeds only its local half of the global batch, and checks the loss
+against the same step computed single-process on the full batch.
+
+  python scripts/distributed_smoke.py            # launcher (prints JSON)
+  python scripts/distributed_smoke.py --worker I # internal
+
+Exit 0 iff multi-process loss == single-process loss (rtol 1e-5).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+GLOBAL_BATCH = 16
+SIDE = 64
+LOCAL_DEVICES = 4
+NPROC = 2
+
+
+def _build_and_step(local_slice):
+    """Shared by workers and the single-process reference: deterministic
+    state + one sharded train step; returns the (replicated) loss."""
+    import jax
+    import numpy as np
+
+    from simhand_tpu.models import ContrastiveModel
+    from simhand_tpu.models.contrastive import ContrastiveConfig
+    from simhand_tpu.parallel import create_mesh
+    from simhand_tpu.parallel.mesh import replicate, shard_batch
+    from simhand_tpu.train import OptimizerConfig, create_train_state
+    from simhand_tpu.train.loop import make_train_step
+
+    model = ContrastiveModel(resnet_size="18", bn_axis_name="data")
+    cfg = ContrastiveConfig(
+        experiment_type="simhand_w",
+        augmentation=("crop", "rotate", "resize"),
+        image_side=float(SIDE),
+    )
+    opt_cfg = OptimizerConfig(train_iters_per_epoch=10, epochs=2,
+                              warmup_epochs=1)
+    state = create_train_state(
+        model, opt_cfg, jax.random.key(0), input_shape=(2, SIDE, SIDE, 3)
+    )
+    mesh = create_mesh()
+    state = replicate(mesh, state)
+    step = make_train_step(model, cfg, mesh=mesh)
+
+    batch = _global_batch()
+    local = {k: v[local_slice] for k, v in batch.items()}
+    gbatch = shard_batch(mesh, local)
+    _, metrics = step(state, gbatch)
+    return float(np.asarray(jax.device_get(metrics["contrastive_loss"])))
+
+
+def _global_batch():
+    import numpy as np
+
+    B = GLOBAL_BATCH
+    rng = np.random.default_rng(0)
+    return {
+        "transformed_image1": rng.normal(size=(B, SIDE, SIDE, 3)).astype(np.float32),
+        "transformed_image2": rng.normal(size=(B, SIDE, SIDE, 3)).astype(np.float32),
+        "jitter_x_1": rng.uniform(-10, 0, B).astype(np.float32),
+        "jitter_x_2": rng.uniform(-10, 0, B).astype(np.float32),
+        "jitter_y_1": rng.uniform(-10, 0, B).astype(np.float32),
+        "jitter_y_2": rng.uniform(-10, 0, B).astype(np.float32),
+        "angle_1": rng.uniform(-45, 45, B).astype(np.float32),
+        "angle_2": rng.uniform(-45, 45, B).astype(np.float32),
+        "joints1_aug": rng.uniform(0, SIDE, (B, 21, 3)).astype(np.float32),
+        "joints2_aug": rng.uniform(0, SIDE, (B, 21, 3)).astype(np.float32),
+        "joints1_ori": rng.uniform(0, 1, (B, 21, 3)).astype(np.float32),
+        "joints2_ori": rng.uniform(0, 1, (B, 21, 3)).astype(np.float32),
+    }
+
+
+def run_worker(pid: int, port: int, out_path: str):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=NPROC,
+        process_id=pid,
+    )
+    assert jax.process_count() == NPROC
+    assert len(jax.devices()) == NPROC * LOCAL_DEVICES
+    per = GLOBAL_BATCH // NPROC
+    loss = _build_and_step(slice(pid * per, (pid + 1) * per))
+    with open(out_path, "w") as f:
+        json.dump({"process": pid, "loss": loss}, f)
+
+
+def run_launcher():
+    import numpy as np
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    tmp = tempfile.mkdtemp(prefix="dist_smoke_")
+    procs, outs = [], []
+    for pid in range(NPROC):
+        out = os.path.join(tmp, f"worker{pid}.json")
+        outs.append(out)
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO
+        env["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={LOCAL_DEVICES}"
+        )
+        env["JAX_PLATFORMS"] = "cpu"
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--worker", str(pid), "--port", str(port), "--out", out],
+            env=env,
+        ))
+    rcs = [p.wait(timeout=600) for p in procs]
+    if any(rcs):
+        print(json.dumps({"ok": False, "worker_rcs": rcs}))
+        return 1
+    losses = [json.load(open(o))["loss"] for o in outs]
+
+    # single-process reference on the full batch (8 local devices)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={NPROC * LOCAL_DEVICES}"
+    )
+    env["JAX_PLATFORMS"] = "cpu"
+    ref_out = os.path.join(tmp, "single.json")
+    rc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--single",
+         "--out", ref_out],
+        env=env, timeout=600,
+    ).returncode
+    if rc:
+        print(json.dumps({"ok": False, "single_rc": rc}))
+        return 1
+    ref = json.load(open(ref_out))["loss"]
+
+    same = bool(np.allclose(losses, losses[0]))
+    match = bool(np.allclose(losses[0], ref, rtol=1e-5))
+    print(json.dumps({
+        "ok": same and match,
+        "multiprocess_losses": losses,
+        "single_process_loss": ref,
+    }))
+    return 0 if (same and match) else 1
+
+
+def run_single(out_path: str):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    loss = _build_and_step(slice(None))
+    with open(out_path, "w") as f:
+        json.dump({"loss": loss}, f)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--worker", type=int, default=None)
+    p.add_argument("--single", action="store_true")
+    p.add_argument("--port", type=int, default=None)
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+    if args.worker is not None:
+        return run_worker(args.worker, args.port, args.out)
+    if args.single:
+        return run_single(args.out)
+    sys.exit(run_launcher())
+
+
+if __name__ == "__main__":
+    main()

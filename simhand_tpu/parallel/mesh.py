@@ -49,8 +49,20 @@ def shard_batch(mesh: Mesh, batch, axis_name: str = DATA_AXIS):
 
 
 def replicate(mesh: Mesh, tree):
-    """Replicates a pytree (params / state) over the mesh."""
+    """Replicates a pytree (params / state) over the mesh.
+
+    Multi-host: every process holds the full value (states are built
+    deterministically per process), so the replicated global array is
+    assembled from identical process-local data.
+    """
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            tree,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 

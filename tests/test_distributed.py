@@ -1,0 +1,29 @@
+"""Two-process jax.distributed smoke (VERDICT round-2 item 5): the
+multi-host seam — ``make_array_from_process_local_data`` in
+parallel/mesh.py:shard_batch/replicate — exercised for real."""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_two_process_step_matches_single_process():
+    """2 coordinated CPU processes (4 devices each, one 8-device global
+    mesh), each feeding its local half of the global batch, produce the
+    same train-step loss as one process on the full batch."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "distributed_smoke.py")],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    result = json.loads(out.stdout.strip().splitlines()[-1])
+    assert result["ok"], result
+    assert result["multiprocess_losses"][0] == result["multiprocess_losses"][1]

@@ -3,8 +3,10 @@ shape fit (ShapeNet or PSO) -> analytic IK -> MANO mesh.
 
 Reference: minimal-hand/demo.py:69-139 and demo_dl.py. The reference
 renders the MANO mesh in a separate open3d viewport; open3d is not in
-this image, so the mesh is rendered as a cv2 wireframe side panel next
-to the skeleton-annotated frame (same information, stacked output).
+this image, so the mesh side panel is drawn by finetune/render.py — a
+software rasterizer with vertex-normal Lambertian shading and an
+orbitable camera (``--spin`` rotates the view per frame like dragging
+the o3d camera; ``--panel wireframe`` keeps the round-2 line render).
 
   python -m simhand_tpu.finetune.demo --video input.mp4 \
       --pretrain detnet.pth --mano mano/models/MANO_RIGHT.pkl \
@@ -70,6 +72,15 @@ def main(argv=None):
                         "one-shot PSO fit")
     p.add_argument("--max_frames", type=int, default=None)
     p.add_argument("--out", default=None, help="write annotated video here")
+    p.add_argument("--panel", default="shaded",
+                   choices=["shaded", "wireframe"],
+                   help="mesh viewport style (shaded = lit 3-D render, "
+                        "the open3d-viewport equivalent)")
+    p.add_argument("--spin", type=float, default=0.0,
+                   help="orbit the mesh view by this many degrees per "
+                        "frame (camera rotation, like o3d mouse orbit)")
+    p.add_argument("--elevation", type=float, default=15.0,
+                   help="camera elevation for the shaded panel (deg)")
     args = p.parse_args(argv)
 
     import cv2
@@ -159,7 +170,16 @@ def main(argv=None):
             # else: beta fitted once on the first frame (reference:
             # demo.py fits the shape once, then tracks pose per frame)
             verts, _, _, beta = reconstruct(mano, xyz, beta=beta)
-            panel = render_mesh_panel(verts, mano.faces, side)
+            if args.panel == "shaded" and mano.faces is not None:
+                from simhand_tpu.finetune.render import render_mesh_shaded
+
+                panel = render_mesh_shaded(
+                    verts, mano.faces, side,
+                    azimuth_deg=args.spin * n,
+                    elevation_deg=args.elevation,
+                )
+            else:
+                panel = render_mesh_panel(verts, mano.faces, side)
             frame_out = np.concatenate([frame_out, panel], axis=1)
         if args.out:
             if writer is None:

@@ -391,3 +391,40 @@ def test_ref_bones_from_joints_matches_mano_bones(mano):
     # same skeleton measured through two code paths: identical up to the
     # tip-vertex-vs-regressor difference (tips are excluded from bones)
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3)
+
+
+def test_software_mesh_renderer():
+    """finetune/render.py: shading varies with the light (Lambert), the
+    silhouette is filled, occlusion follows depth order, and the view
+    matrix orbits the silhouette."""
+    import numpy as np
+
+    from simhand_tpu.finetune.render import (
+        render_mesh_shaded,
+        vertex_normals,
+        view_matrix,
+    )
+
+    # tetrahedron
+    verts = np.array([
+        [0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0],
+    ])
+    faces = np.array([[0, 2, 1], [0, 1, 3], [0, 3, 2], [1, 2, 3]])
+
+    vn = vertex_normals(verts, faces)
+    np.testing.assert_allclose(np.linalg.norm(vn, axis=1), 1.0, rtol=1e-9)
+
+    img = render_mesh_shaded(verts, faces, 96)
+    assert img.shape == (96, 96, 3) and img.dtype == np.uint8
+    body = img[img[..., 0] != img[0, 0, 0]]
+    assert body.size > 500                     # silhouette filled
+    assert len(np.unique(body[:, 0])) > 1      # shading varies by face
+
+    # orbiting 90 degrees changes the image
+    img90 = render_mesh_shaded(verts, faces, 96, azimuth_deg=90)
+    assert (img != img90).any()
+
+    # view_matrix is a rotation
+    R = view_matrix(33, -20)
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)
+    assert np.isclose(np.linalg.det(R), 1.0)

@@ -8,6 +8,7 @@ recipes and torch.hub consumers load our encoders unchanged
 """
 from __future__ import annotations
 
+import logging
 import os
 from typing import Any
 
@@ -28,6 +29,7 @@ class CheckpointManager:
         directory = os.path.abspath(directory)
         os.makedirs(directory, exist_ok=True)
         self.metric = metric
+        self.directory = directory
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max(save_top_k, 1),
             best_fn=lambda m: m[metric],
@@ -37,6 +39,12 @@ class CheckpointManager:
         self._mgr = ocp.CheckpointManager(directory, options=options)
 
     def save(self, step: int, state, metrics: dict[str, float]) -> None:
+        # the reference's UpdatedModelCheckpoint announces every save
+        # (callbacks/model_checkpoint.py:5-10 "Saving checkpoint at ...")
+        logging.getLogger("simhand_tpu").info(
+            "Saving checkpoint at %s (step %d, %s=%.6f)",
+            self.directory, step, self.metric, float(metrics[self.metric]),
+        )
         self._mgr.save(
             step,
             args=ocp.args.StandardSave(jax.tree.map(lambda x: x, state)),

@@ -176,6 +176,18 @@ def bench_cache_fed(setup):
     state, metrics = step_fn(state, next(it))
     assert np.isfinite(float(metrics["contrastive_loss"]))
 
+    # H2D link rate: one synced transfer of a raw batch (77 MB at
+    # B=256) — on tunneled dev hosts this is the composed ceiling
+    # (measured ~30 MB/s over axon); PCIe hosts move it in ~10 ms
+    probe = next(epoch_iter(98))
+    nbytes = sum(np.asarray(v).nbytes for v in jax.tree.leaves(probe))
+    t0 = time.perf_counter()
+    raw2 = _global_host_batch = {k: np.asarray(v) for k, v in probe.items()}
+    dev = jax.tree.map(jax.device_put, raw2)
+    jax.block_until_ready(dev)
+    _ = float(jnp.asarray(dev[next(iter(dev))]).astype(jnp.float32).sum())
+    h2d_rate = nbytes / 1e6 / (time.perf_counter() - t0)
+
     # host-assembly-only rate (no device work): how fast the cache +
     # gather + threaded batcher produce raw batches
     t0 = time.perf_counter()
@@ -211,6 +223,7 @@ def bench_cache_fed(setup):
         "unit": "img/s/chip",
         "vs_baseline": round(composed / 4077.0, 4),
         "host_assembly_images_per_sec": round(host_rate, 2),
+        "h2d_link_mb_per_s": round(h2d_rate, 1),
         "steps": n_steps - warm,
         "note": "H2D crosses the axon tunnel on this host; production "
                 "PCIe hosts only do better",

@@ -102,20 +102,17 @@ class CachedHand100MSource:
         return self.n
 
     def gather_crops(self, indices) -> np.ndarray:
-        """Batch crop assembly: (len(indices), C, C, 3) uint8, using the
-        native multithreaded gather (simhand_tpu.native) when available."""
+        """Batch crop assembly: (len(indices), C, C, 3) uint8 via ONE
+        multithreaded native call across all shards
+        (native.gather_records_sharded). The earlier per-shard loop with
+        boolean-mask assignment cost 200+ ms per 512-crop batch in numpy
+        fancy-assignment alone."""
         from simhand_tpu import native
 
         idx = np.asarray(indices, np.int64)
-        shard_ids = idx // self.shard_size
-        rows = idx % self.shard_size
-        out = np.empty((len(idx),) + self.shards[0].shape[1:], np.uint8)
-        for k in np.unique(shard_ids):
-            sel = shard_ids == k
-            out[sel] = native.gather_records(
-                np.asarray(self.shards[k]), rows[sel]
-            )
-        return out
+        return native.gather_records_sharded(
+            self.shards, idx // self.shard_size, idx % self.shard_size
+        )
 
     def __getitem__(self, idx: int) -> dict:
         k, off = divmod(idx, self.shard_size)

@@ -45,6 +45,11 @@ def _lib():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_void_p,
             ]
+            lib.gather_records_sharded.argtypes = [
+                ctypes.POINTER(ctypes.c_void_p), ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p,
+            ]
             _LIB = lib
     return _LIB
 
@@ -69,3 +74,40 @@ def gather_records(src: np.ndarray, indices: np.ndarray) -> np.ndarray:
         dst.ctypes.data_as(ctypes.c_void_p),
     )
     return dst
+
+
+def gather_records_sharded(
+    shards: list, shard_ids: np.ndarray, rows: np.ndarray,
+    out: np.ndarray | None = None,
+) -> np.ndarray:
+    """dst[i] = shards[shard_ids[i]][rows[i]], one multithreaded native
+    call across all shards — no per-shard Python loop, no boolean-mask
+    assignment (measured 200+ ms per 512-crop batch; the sharded kernel
+    writes each record once, in order).
+
+    Falls back to a numpy loop when the library is unavailable.
+    """
+    shard_ids = np.ascontiguousarray(shard_ids, np.int64)
+    rows = np.ascontiguousarray(rows, np.int64)
+    first = np.asarray(shards[0])
+    if out is None:
+        out = np.empty((len(rows),) + first.shape[1:], first.dtype)
+    lib = _lib()
+    arrs = [np.asarray(s) for s in shards]
+    if lib is None or not all(a.flags["C_CONTIGUOUS"] for a in arrs):
+        for i, (k, r) in enumerate(zip(shard_ids, rows)):
+            out[i] = arrs[k][r]
+        return out
+    record_size = int(np.prod(first.shape[1:])) * first.dtype.itemsize
+    srcs = (ctypes.c_void_p * len(arrs))(
+        *[a.ctypes.data_as(ctypes.c_void_p).value for a in arrs]
+    )
+    lib.gather_records_sharded(
+        srcs,
+        shard_ids.ctypes.data_as(ctypes.c_void_p),
+        rows.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(len(rows)),
+        ctypes.c_int64(record_size),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out

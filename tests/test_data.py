@@ -218,6 +218,15 @@ def test_native_gather_matches_numpy(synthetic_root, tmp_path):
     got = native.gather_records(src_arr, idx)
     np.testing.assert_array_equal(got, src_arr[idx])
 
+    # the sharded one-call variant (cross-shard, unsorted, duplicates)
+    shards = [rng.integers(0, 255, (10, 8, 8, 3), dtype=np.uint8)
+              for _ in range(3)]
+    shard_ids = np.array([2, 0, 1, 1, 2, 0, 0], np.int64)
+    rows = np.array([9, 0, 5, 5, 1, 3, 9], np.int64)
+    got_s = native.gather_records_sharded(shards, shard_ids, rows)
+    for i, (k, r) in enumerate(zip(shard_ids, rows)):
+        np.testing.assert_array_equal(got_s[i], shards[k][r])
+
     # through the cache
     h_src = Hand100MSource(synthetic_root, source="100doh", scale="smoke")
     cache_dir = str(tmp_path / "cache2")

@@ -1,5 +1,11 @@
 """Host input-pipeline throughput: can this host feed the chip?
 
+ROUND-3 NOTE: with the default --n 4096 the whole corpus (~600 MB) is
+page-cache resident after generation, which overstates sustained
+throughput (the round-2 111k/s reading). For honest sustained numbers
+use --n 8192+ and read SCALING.md's decomposition (native sharded
+gather ~2.7 GB/s; raw batcher ~8.5k samples/s at its 2-thread cap).
+
 Measures samples/sec of both production input paths over a synthetic
 corpus (generated on first run):
 

@@ -182,7 +182,7 @@ def bench_cache_fed(setup):
     probe = next(epoch_iter(98))
     nbytes = sum(np.asarray(v).nbytes for v in jax.tree.leaves(probe))
     t0 = time.perf_counter()
-    raw2 = _global_host_batch = {k: np.asarray(v) for k, v in probe.items()}
+    raw2 = {k: np.asarray(v) for k, v in probe.items()}
     dev = jax.tree.map(jax.device_put, raw2)
     jax.block_until_ready(dev)
     _ = float(jnp.asarray(dev[next(iter(dev))]).astype(jnp.float32).sum())

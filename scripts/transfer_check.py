@@ -33,6 +33,7 @@ def run_transfer_check(
     batch_size: int = 16,
     bn_variant: str = "exact",
     lr: float = 3e-4,
+    corpus_seed: int = 0,
 ) -> dict:
     """Runs both arms; returns {"random": metrics, "pretrained": metrics}.
 
@@ -84,7 +85,7 @@ def run_transfer_check(
 
     data_dir = os.path.join(workdir, "data")
     generate_synthetic_hand100m(data_dir, num_images=128, num_videos=16,
-                                seed=0)
+                                seed=corpus_seed)
     pth = os.path.join(workdir, "encoder_pretrained.pth")
     from simhand_tpu.experiments import main as pretrain_main
 
@@ -115,6 +116,8 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--bn_variant", default="exact")
     p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--corpus_seed", type=int, default=0,
+                   help="pretrain-corpus RNG seed (robustness re-runs)")
     p.add_argument("--workdir", default=None)
     args = p.parse_args(argv)
 
@@ -124,7 +127,7 @@ def main(argv=None):
     workdir = args.workdir or tempfile.mkdtemp(prefix="transfer_check_")
     result = run_transfer_check(
         workdir, args.pretrain_steps, args.finetune_steps,
-        args.batch_size, args.bn_variant, args.lr,
+        args.batch_size, args.bn_variant, args.lr, args.corpus_seed,
     )
     print(json.dumps(result))
     return result

@@ -84,8 +84,15 @@ def run_transfer_check(
     from simhand_tpu.data.sources.synthetic import generate_synthetic_hand100m
 
     data_dir = os.path.join(workdir, "data")
-    generate_synthetic_hand100m(data_dir, num_images=128, num_videos=16,
-                                seed=corpus_seed)
+    # generate at the path main.py's `-sources synthetic` reads
+    # (<data_dir>/synthetic/...) — main skips generation when the
+    # annotation exists, so corpus_seed takes effect; writing anywhere
+    # else is silently ignored (round-3 bug: identical exports across
+    # "different" corpora)
+    generate_synthetic_hand100m(
+        os.path.join(data_dir, "synthetic"), num_images=256, num_videos=16,
+        seed=corpus_seed,
+    )
     pth = os.path.join(workdir, "encoder_pretrained.pth")
     from simhand_tpu.experiments import main as pretrain_main
 

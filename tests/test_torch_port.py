@@ -144,3 +144,34 @@ def test_hub_load_into_contrastive(tmp_path):
     # the model runs with the transplanted encoder
     emb, proj = model.apply(loaded, jnp.zeros((1, 32, 32, 3)))
     assert proj.shape == (1, 128)
+
+
+def test_root_hubconf_surface(tmp_path):
+    """Repo-root hubconf.py (the reference's torch.hub surface): the flax
+    entry loads an exported .pth; the torch entry exists with the
+    reference's signature (torchvision-gated in this image)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "repo_hubconf",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "hubconf.py"),
+    )
+    hub = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(hub)
+    assert "torch" in hub.dependencies
+    assert callable(hub.resnet50_simhand)
+
+    import numpy as np
+    import torch
+
+    from test_torch_contract import make_state_dict
+
+    pth = str(tmp_path / "enc.pth")
+    torch.save(
+        {k: torch.from_numpy(np.atleast_1d(v)) for k, v in
+         make_state_dict(1).items()},
+        pth,
+    )
+    params, stats = hub.resnet50_simhand_flax(pth)
+    assert "conv1" in params and "mean" in stats["bn1"]

@@ -34,6 +34,7 @@ def run_transfer_check(
     bn_variant: str = "exact",
     lr: float = 3e-4,
     corpus_seed: int = 0,
+    experiment_type: str = "simhand_w",
 ) -> dict:
     """Runs both arms; returns {"random": metrics, "pretrained": metrics}.
 
@@ -97,7 +98,7 @@ def run_transfer_check(
     from simhand_tpu.experiments import main as pretrain_main
 
     argv = [
-        "main.py", "--experiment_type", "simhand_w", "--crop", "--resize",
+        "main.py", "--experiment_type", experiment_type, "--crop", "--resize",
         "--rotate", "-sources", "synthetic", "-batch_size",
         str(batch_size), "-resnet_size", "18",
         "--data_dir", data_dir, "-experiment_name", "transfer_check",
@@ -125,6 +126,11 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--corpus_seed", type=int, default=0,
                    help="pretrain-corpus RNG seed (robustness re-runs)")
+    p.add_argument("--experiment_type", default="simhand_w",
+                   help="pretraining objective for arm (b) — compare "
+                        "simclr (same-image positives) vs simhand_w "
+                        "(mined similar-hand positives): the paper's "
+                        "core-claim miniature")
     p.add_argument("--workdir", default=None)
     args = p.parse_args(argv)
 
@@ -135,6 +141,7 @@ def main(argv=None):
     result = run_transfer_check(
         workdir, args.pretrain_steps, args.finetune_steps,
         args.batch_size, args.bn_variant, args.lr, args.corpus_seed,
+        args.experiment_type,
     )
     print(json.dumps(result))
     return result

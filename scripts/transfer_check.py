@@ -35,6 +35,7 @@ def run_transfer_check(
     lr: float = 3e-4,
     corpus_seed: int = 0,
     experiment_type: str = "simhand_w",
+    skip_random: bool = False,
 ) -> dict:
     """Runs both arms; returns {"random": metrics, "pretrained": metrics}.
 
@@ -79,7 +80,9 @@ def run_transfer_check(
         }
 
     # --- arm (a): random init -------------------------------------------
-    random_metrics = finetune(os.path.join(workdir, "ft_random"), None)
+    random_metrics = None
+    if not skip_random:
+        random_metrics = finetune(os.path.join(workdir, "ft_random"), None)
 
     # --- arm (b): brief simhand_w pretrain on the synthetic corpus ------
     from simhand_tpu.data.sources.synthetic import generate_synthetic_hand100m
@@ -126,6 +129,10 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--corpus_seed", type=int, default=0,
                    help="pretrain-corpus RNG seed (robustness re-runs)")
+    p.add_argument("--skip_random", action="store_true",
+                   help="skip the random-init arm (comparisons between "
+                        "pretraining objectives reuse the published "
+                        "random-arm number)")
     p.add_argument("--experiment_type", default="simhand_w",
                    help="pretraining objective for arm (b) — compare "
                         "simclr (same-image positives) vs simhand_w "
@@ -141,7 +148,7 @@ def main(argv=None):
     result = run_transfer_check(
         workdir, args.pretrain_steps, args.finetune_steps,
         args.batch_size, args.bn_variant, args.lr, args.corpus_seed,
-        args.experiment_type,
+        args.experiment_type, args.skip_random,
     )
     print(json.dumps(result))
     return result

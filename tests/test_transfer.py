@@ -22,3 +22,39 @@ def test_pretraining_transfers_on_synthetic(tmp_path):
     assert np.isfinite(rand["lossH_final"]) and np.isfinite(pre["lossH_final"])
     # the pretrained encoder must beat random init with real margin
     assert pre["lossH_final"] < 0.98 * rand["lossH_final"], result
+
+
+@pytest.mark.filterwarnings("ignore")
+@pytest.mark.slow
+def test_similar_hand_positives_beat_simclr(tmp_path):
+    """The paper's core claim in miniature (reference README.md:22):
+    mined similar-hand positives (simhand_w) transfer better than
+    same-image positives (simclr) at an identical budget. Each arm runs
+    in a fresh interpreter (matching the calibrated standalone runs;
+    BASE_PATH and jit caches isolated). Deterministic measured ordering
+    at 40/40 steps: simhand_w 0.658 < simclr 0.673 (< random 0.752,
+    covered by the test above)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def arm(expt):
+        env = dict(os.environ)
+        env.pop("BASE_PATH", None)
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "scripts", "transfer_check.py"),
+             "--experiment_type", expt, "--pretrain_steps", "40",
+             "--finetune_steps", "40", "--skip_random",
+             "--workdir", str(tmp_path / expt)],
+            env=env, capture_output=True, text=True, timeout=1500,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    sim = arm("simhand_w")
+    clr = arm("simclr")
+    assert (sim["pretrained"]["lossH_final"]
+            < clr["pretrained"]["lossH_final"]), (sim, clr)

@@ -83,6 +83,9 @@ def build_bench_setup():
         bn_subsample=bn_subsample, bn_stop_gradient_stats=bn_sg,
         bn_fused=bn_fused,
         conv1x1_fuse_min_cin=conv1x1_fuse,
+        # BENCH_MAXPOOL=masked: recompute-and-mask stem-pool backward
+        # (models/pool.py) instead of XLA's select_and_scatter
+        maxpool=os.environ.get("BENCH_MAXPOOL", "xla"),
         remat=os.environ.get("BENCH_REMAT", "0") == "1",
     )
     opt_cfg = OptimizerConfig(train_iters_per_epoch=1000, epochs=100,

@@ -107,6 +107,8 @@ class ContrastiveModel(nn.Module):
     # >0: Mosaic fused conv1x1+BN at bottleneck sites with cin >= this
     # (models/fused_conv.py); 512 = the shapes where the kernel wins
     conv1x1_fuse_min_cin: int = 0
+    # "xla" | "masked": stem max-pool backward impl (models/pool.py)
+    maxpool: str = "xla"
 
     def setup(self):
         enc_cls = RESNETS[self.resnet_size]
@@ -116,6 +118,7 @@ class ContrastiveModel(nn.Module):
             bn_stop_gradient_stats=self.bn_stop_gradient_stats,
             bn_fused=self.bn_fused,
             conv1x1_fuse_min_cin=self.conv1x1_fuse_min_cin,
+            maxpool=self.maxpool,
         )
         if self.remat:
             # static_argnums indexes (module, x, train) — `train` must be

@@ -159,6 +159,10 @@ class ResNet(nn.Module):
     # (scripts/bench_conv1x1.py). Train-mode only; mutually exclusive
     # with the bn_fused/bn_subsample/stop-gradient variants.
     conv1x1_fuse_min_cin: int = 0
+    # "xla": nn.max_pool (backward = XLA select_and_scatter). "masked":
+    # identical forward, recompute-and-mask backward (models/pool.py) —
+    # avoids the non-fused scatter kernel in the stem backward.
+    maxpool: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -247,7 +251,12 @@ class ResNet(nn.Module):
             x = act_norm(name="bn1")(x)
         else:
             x = nn.relu(norm(name="bn1")(x))
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        if self.maxpool == "masked":
+            from simhand_tpu.models.pool import max_pool_firstmatch
+
+            x = max_pool_firstmatch(x, (3, 3), (2, 2), ((1, 1), (1, 1)))
+        else:
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         fused_site = None
         if self.conv1x1_fuse_min_cin and train:

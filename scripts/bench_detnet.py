@@ -34,7 +34,8 @@ def main():
     bn_sg = os.environ.get("BENCH_BN_SG", "0") == "1"
 
     model = DetNet(resnet_size=backbone, dtype=jnp.bfloat16,
-                   bn_stop_gradient_stats=bn_sg)
+                   bn_stop_gradient_stats=bn_sg,
+                   maxpool=os.environ.get("BENCH_MAXPOOL", "xla"))
     variables = model.init(jax.random.key(0), jnp.zeros((1, side, side, 3)))
     tx = optax.adam(1e-4)
     state = TrainState.create(

@@ -73,12 +73,15 @@ class DetNet(nn.Module):
     # backbone BN perf options (see simhand_tpu/models/{norm,fused_bn}.py)
     bn_stop_gradient_stats: bool = False
     bn_fused: bool = False
+    # "xla" | "masked": stem max-pool backward impl (models/pool.py)
+    maxpool: str = "xla"
 
     def setup(self):
         self.encoder = RESNETS[self.resnet_size](
             dtype=self.dtype, pool=False,
             bn_stop_gradient_stats=self.bn_stop_gradient_stats,
             bn_fused=self.bn_fused,
+            maxpool=self.maxpool,
             name="encoder",
         )
         # I2L-MeshNet deconv stack: 2048 -> 256 -> 256 -> 256, each 2x up.

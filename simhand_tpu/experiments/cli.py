@@ -86,6 +86,11 @@ def get_general_args(
     parser.add_argument("--use_pallas", action="store_true", default=False,
                         help="TPU: fused pallas custom-VJP contrastive kernels "
                              "(single-chip path)")
+    parser.add_argument("--fsdp", action="store_true", default=False,
+                        help="TPU: shard params + optimizer state over the "
+                             "mesh (ZeRO-3 via GSPMD) instead of replicating; "
+                             "sync-BN/global-loss semantics, see "
+                             "parallel/fsdp.py")
     parser.add_argument("--cache_dir", type=str, default=None,
                         help="TPU: packed-crop cache dir (built on first use); "
                              "removes per-step JPEG decode from the input path")

@@ -194,12 +194,24 @@ def main(argv=None):
 
     mesh = create_mesh() if len(jax.devices()) > 1 else None
     augment = (flags, params, side) if args.device_augment else None
-    step_fn = make_train_step(model, ccfg, mesh=mesh, augment=augment)
+    use_fsdp = bool(getattr(args, "fsdp", False)) and mesh is not None
+    if use_fsdp:
+        # ZeRO-3 layout: params + optimizer state sharded over the data
+        # axis, all-gathers/reduce-scatters inserted by GSPMD. Semantics:
+        # sync-BN + global-batch loss (== a single-device step on the
+        # global batch; tests/test_fsdp.py).
+        from simhand_tpu.parallel.fsdp import make_fsdp_train_step
+
+        step_fn, place_state, _ = make_fsdp_train_step(
+            model, ccfg, mesh, state, augment=augment
+        )
+    else:
+        step_fn = make_train_step(model, ccfg, mesh=mesh, augment=augment)
     from simhand_tpu.train import make_eval_step
 
     eval_fn = make_eval_step(model, ccfg, mesh=mesh)
     if mesh is not None:
-        state = replicate(mesh, state)
+        state = place_state(state) if use_fsdp else replicate(mesh, state)
 
     # held-out validation slice (reference: re-split val loaders,
     # data_loader/utils.py:219-269). Hand100M has no labeled val set, so

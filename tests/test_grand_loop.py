@@ -1,15 +1,18 @@
 """Grand-loop integration: the full reference workflow in one run.
 
-pretrain CLI (simhand_w) -> --export_torch .pth -> finetune.train
---pretrain <that .pth> -> finetune.evaluate — the cross-stage contract
-(exported torchvision key layout consumed by the fine-tune init path)
-exercised end to end, with proof that the exported encoder weights
-actually landed in the detnet backbone rather than being silently
-re-initialized.
+similarity mining CLI (Hand100M pairing) -> pretrain CLI (simhand_w on
+the mined pairs) -> --export_torch .pth -> finetune.train --pretrain
+<that .pth> -> finetune.evaluate — every cross-stage contract (mined
+v1-1 annotation schema consumed by the pretrain pipeline; exported
+torchvision key layout consumed by the fine-tune init path) exercised
+end to end, with proof that the exported encoder weights actually
+landed in the detnet backbone rather than being silently re-initialized.
 
-Reference workflow: README.md:55-76 (pre-train + port_model export) ->
+Reference workflow: Hand100M/README (mining produces the *_v1-1.json
+corpora) -> README.md:55-76 (pre-train + port_model export) ->
 minimal-hand/README.md:19-27 (fine-tune from the released .pth).
 """
+import json
 import os
 import sys
 
@@ -50,7 +53,7 @@ def _tree_max_abs_diff(a, b):
 
 @pytest.mark.filterwarnings("ignore")
 @pytest.mark.slow
-def test_grand_loop_pretrain_export_finetune_eval(tmp_path, monkeypatch):
+def test_grand_loop_mine_pretrain_export_finetune_eval(tmp_path, monkeypatch):
     torch = pytest.importorskip("torch")
     monkeypatch.setenv("BASE_PATH", str(tmp_path / "runs"))
     import importlib
@@ -61,6 +64,34 @@ def test_grand_loop_pretrain_export_finetune_eval(tmp_path, monkeypatch):
     import simhand_tpu.experiments.main as main_mod
 
     importlib.reload(main_mod)
+
+    # --- stage 0: mine the similar-hand positives the pretrain consumes ---
+    # Generate the synthetic corpus at the exact path `-sources synthetic`
+    # reads, strip its pairs, and re-create them through the real mining
+    # CLI — the pretrain below trains on MINED pairs, not generator ones.
+    from simhand_tpu.data.sources import generate_synthetic_hand100m
+    from simhand_tpu.mining import run as mining_run
+
+    synth_root = os.path.join(str(tmp_path), "data", "synthetic")
+    anno_path = generate_synthetic_hand100m(
+        synth_root, num_images=256, num_videos=16
+    )
+    with open(anno_path) as f:
+        corpus = json.load(f)
+    oracle = [a["positive_sample"][0] for a in corpus["annotations"]]
+    for a in corpus["annotations"]:
+        a["positive_sample"] = []
+        a["distance"] = []
+    unpaired = str(tmp_path / "unpaired.json")
+    with open(unpaired, "w") as f:
+        json.dump(corpus, f)
+    mining_run.main([
+        "--input", unpaired, "--output", anno_path,
+        "--k", "1", "--query_chunk", "64", "--db_chunk", "128",
+    ])
+    with open(anno_path) as f:
+        mined = json.load(f)
+    assert [a["positive_sample"][0] for a in mined["annotations"]] == oracle
 
     # --- stage 1: pre-train (simhand_w, rn18, 2 steps) + torch export ---
     pth = str(tmp_path / "encoder_simhand.pth")

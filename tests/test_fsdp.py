@@ -126,6 +126,83 @@ def test_fsdp_step_matches_single_device(mesh_kind):
     assert np.isfinite(float(metrics["contrastive_loss"]))
 
 
+def test_fsdp_step_with_device_augment():
+    """FSDP + the fused on-device augmentation chain: a raw uint8 batch
+    compiles and trains under GSPMD with the sharded state."""
+    rng = np.random.default_rng(8)
+    raw = {
+        "image1": jnp.asarray(
+            rng.integers(0, 255, (B, 64, 64, 3), dtype=np.uint8)),
+        "image2": jnp.asarray(
+            rng.integers(0, 255, (B, 64, 64, 3), dtype=np.uint8)),
+        "joints1": jnp.asarray(rng.uniform(16, 48, (B, 21, 3)), jnp.float32),
+        "joints2": jnp.asarray(rng.uniform(16, 48, (B, 21, 3)), jnp.float32),
+        "joints_raw1": jnp.asarray(rng.uniform(0, 1, (B, 21, 3)), jnp.float32),
+        "joints_raw2": jnp.asarray(rng.uniform(0, 1, (B, 21, 3)), jnp.float32),
+    }
+    from simhand_tpu.data.augment_cv2 import AugmentFlags, AugmentParams
+
+    model = ContrastiveModel(resnet_size="18")
+    cfg = ContrastiveConfig(
+        experiment_type="simhand_w",
+        augmentation=("crop", "rotate", "resize"),
+        image_side=float(SIDE),
+    )
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    state = _make_state(model)
+    flags = AugmentFlags(crop=True, resize=True, rotate=True)
+    step, place_state, place_batch = make_fsdp_train_step(
+        model, cfg, mesh, state,
+        augment=(flags, AugmentParams(resize_shape=(SIDE, SIDE)), SIDE),
+    )
+    st = place_state(state)
+    st, metrics = step(st, place_batch(raw))
+    assert np.isfinite(float(metrics["contrastive_loss"]))
+
+
+def test_fsdp_restores_replicated_dp_checkpoint(tmp_path):
+    """Elastic restart across layouts: a checkpoint written by the
+    replicated shard_map DP run restores into the FSDP layout (sharded
+    template) and training continues — topology/layout changes between
+    runs must not invalidate checkpoints."""
+    from simhand_tpu.train.checkpoint import CheckpointManager
+
+    model = ContrastiveModel(resnet_size="18")
+    cfg = ContrastiveConfig(
+        experiment_type="simhand_w",
+        augmentation=("crop", "rotate", "resize"),
+        image_side=float(SIDE),
+    )
+    batch = _make_batch()
+    # one single-device (replicated-semantics) step, then checkpoint
+    state, metrics = make_train_step(model, cfg, mesh=None)(
+        _make_state(model), batch
+    )
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, jax.device_get(state),
+             {"contrastive_loss": float(metrics["contrastive_loss"])})
+    mgr.wait()
+
+    # restore with an FSDP-placed template: arrays come back SHARDED
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    template = _make_state(model)
+    step, place_state, place_batch = make_fsdp_train_step(
+        model, cfg, mesh, template
+    )
+    restored = mgr.restore(place_state(template))
+    mgr.close()
+    n = len(jax.devices())
+    big = [p for p in jax.tree.leaves(restored.params) if p.size >= 4096]
+    assert big and all(
+        p.addressable_shards[0].data.size * n == p.size for p in big
+    )
+    # the restored values are the DP run's values, not the template's
+    assert _max_diff(restored.params, state.params) == 0.0
+    # and training continues from them under FSDP
+    restored, metrics = step(restored, place_batch(_make_batch(seed=2)))
+    assert np.isfinite(float(metrics["contrastive_loss"]))
+
+
 @pytest.mark.filterwarnings("ignore")
 @pytest.mark.slow
 def test_pretrain_cli_fsdp_flag(tmp_path, monkeypatch):

@@ -46,6 +46,10 @@ def main(argv=None):
     p.add_argument("--k", type=int, default=1)
     p.add_argument("--query_chunk", type=int, default=4096)
     p.add_argument("--db_chunk", type=int, default=8192)
+    p.add_argument("--shard_db", action="store_true", default=False,
+                   help="shard the keypoint DB over the mesh too and "
+                        "rotate it around the ICI ring (ppermute) — for "
+                        "corpora whose replicated DB would not fit HBM")
     args = p.parse_args(argv)
 
     import jax
@@ -69,7 +73,7 @@ def main(argv=None):
     d, i = mine_similar_hands(
         kp, vids, k=args.k,
         query_chunk=args.query_chunk, db_chunk=args.db_chunk,
-        mesh=mesh, progress=True,
+        mesh=mesh, progress=True, shard_db=args.shard_db and mesh is not None,
     )
     annotations = attach_positives(annotations, d, i)
 

@@ -181,6 +181,105 @@ def make_sharded_topk_all(mesh, k: int, query_chunk: int, db_chunk: int,
     )
 
 
+def _merge_block(q, qv, qi, blk, blk_vids, blk_ids, best_d, best_i,
+                 k: int, db_chunk: int):
+    """Merges one database block (with EXPLICIT global ids) into the
+    running per-query top-k. The block is streamed in ``db_chunk`` tiles
+    like ``topk_similar``; pad rows carry id -1 and are masked."""
+    nc = blk.shape[0] // db_chunk
+    blk_c = blk.reshape(nc, db_chunk, *blk.shape[1:])
+    vids_c = blk_vids.reshape(nc, db_chunk)
+    ids_c = blk_ids.reshape(nc, db_chunk)
+
+    def body(carry, inputs):
+        bd, bi = carry
+        chunk, cv, ci = inputs
+        d = _chunk_distances(q, chunk)                       # (Q, C)
+        mask = (
+            (qv[:, None] == cv[None, :])
+            | (qi[:, None] == ci[None, :])
+            | (ci[None, :] < 0)
+        )
+        d = jnp.where(mask, jnp.inf, d)
+        cat_d = jnp.concatenate([bd, d], axis=1)
+        cat_i = jnp.concatenate(
+            [bi, jnp.broadcast_to(ci[None, :], d.shape).astype(jnp.int32)],
+            axis=1,
+        )
+        neg_top, pos = jax.lax.top_k(-cat_d, k)
+        return (-neg_top, jnp.take_along_axis(cat_i, pos, axis=1)), None
+
+    (best_d, best_i), _ = jax.lax.scan(
+        body, (best_d, best_i), (blk_c, vids_c, ids_c)
+    )
+    return best_d, best_i
+
+
+def make_ring_topk_all(mesh, k: int, query_chunk: int, db_chunk: int,
+                       axis_name: str = "data"):
+    """DB-SHARDED whole-corpus mining: queries AND the keypoint database
+    are sharded over ``axis_name``; each round every device merges its
+    query shard against the database block it currently holds, then the
+    blocks rotate one hop around the ICI ring (``lax.ppermute``). After
+    ``n_devices`` rounds every query has seen the whole corpus.
+
+    This removes the replicated-DB HBM floor of ``make_sharded_topk_all``
+    (340 MB at 2M hands — fine; ~17 GB at the 100M-crop scale the
+    Hand100M corpus name implies — not): per-device DB memory is N/n
+    rows, and the rotation is a neighbor exchange that overlaps with the
+    distance compute. Same masking semantics (cross-video only, self and
+    pads excluded); still ONE program, ONE host fetch.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.devices.size
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    def local(q_kp, q_vids, q_ids, db_blk, db_vids_blk, db_ids_blk):
+        q_loc = q_kp.shape[0]
+        n_q = q_loc // query_chunk
+        qs = q_kp.reshape(n_q, query_chunk, *q_kp.shape[1:])
+        vs = q_vids.reshape(n_q, query_chunk)
+        ids = q_ids.reshape(n_q, query_chunk)
+        best_d = jnp.full((n_q, query_chunk, k), jnp.inf, q_kp.dtype)
+        best_i = jnp.full((n_q, query_chunk, k), -1, jnp.int32)
+
+        def round_body(_, carry):
+            best_d, best_i, blk, bv, bids = carry
+
+            def per_q(carry2, inputs):
+                q, qv, qi, bd, bi = inputs
+                bd, bi = _merge_block(
+                    q, qv, qi, blk, bv, bids, bd, bi, k, db_chunk
+                )
+                return carry2, (bd, bi)
+
+            _, (best_d, best_i) = jax.lax.scan(
+                per_q, None, (qs, vs, ids, best_d, best_i)
+            )
+            blk = jax.lax.ppermute(blk, axis_name, perm)
+            bv = jax.lax.ppermute(bv, axis_name, perm)
+            bids = jax.lax.ppermute(bids, axis_name, perm)
+            return best_d, best_i, blk, bv, bids
+
+        best_d, best_i, *_ = jax.lax.fori_loop(
+            0, n_dev, round_body,
+            (best_d, best_i, db_blk, db_vids_blk, db_ids_blk),
+        )
+        return (best_d.reshape(q_loc, k), best_i.reshape(q_loc, k))
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis_name),) * 6,
+            out_specs=(P(axis_name), P(axis_name)),
+            check_vma=False,
+        )
+    )
+
+
 def mine_similar_hands(
     keypoints: np.ndarray,    # (N, 21, 2) normalized 2D keypoints
     video_ids: np.ndarray,    # (N,) int
@@ -190,6 +289,7 @@ def mine_similar_hands(
     mesh=None,
     progress: bool = False,
     single_program: bool | None = None,
+    shard_db: bool = False,
 ):
     """Full-corpus mining: every hand paired with its k most-similar hands
     from other videos.
@@ -201,6 +301,32 @@ def mine_similar_hands(
     N = keypoints.shape[0]
     kp = jnp.asarray(keypoints, jnp.float32)
     vids = jnp.asarray(video_ids, jnp.int32)
+
+    if shard_db:
+        # ring variant: DB sharded too (see make_ring_topk_all). Queries
+        # pad to query_chunk*n_dev; the DB pads to db_chunk*n_dev so each
+        # device holds whole tiles (pad rows id=-1, masked in-kernel).
+        if mesh is None:
+            raise ValueError("shard_db=True requires a mesh")
+        n_dev = mesh.devices.size
+        qpad = (-N) % (query_chunk * n_dev)
+        kp_q = kp if not qpad else jnp.concatenate(
+            [kp, jnp.zeros((qpad, 21, 2), kp.dtype)])
+        vids_q = vids if not qpad else jnp.concatenate(
+            [vids, jnp.full((qpad,), -3, vids.dtype)])
+        q_ids = jnp.arange(kp_q.shape[0], dtype=jnp.int32)
+        dpad = (-N) % (db_chunk * n_dev)
+        db = kp if not dpad else jnp.concatenate(
+            [kp, jnp.zeros((dpad, 21, 2), kp.dtype)])
+        db_vids = vids if not dpad else jnp.concatenate(
+            [vids, jnp.full((dpad,), -2, vids.dtype)])
+        db_ids = jnp.concatenate(
+            [jnp.arange(N, dtype=jnp.int32),
+             jnp.full((dpad,), -1, jnp.int32)]) if dpad else jnp.arange(
+                 N, dtype=jnp.int32)
+        fn = make_ring_topk_all(mesh, k, query_chunk, db_chunk)
+        d, i = fn(kp_q, vids_q, q_ids, db, db_vids, db_ids)
+        return np.asarray(d[:N]), np.asarray(i[:N])
 
     if single_program is None:
         single_program = True

@@ -44,6 +44,26 @@ def test_topk_sharded_matches_brute_force():
     np.testing.assert_array_equal(got_i, want_i)
 
 
+@pytest.mark.parametrize("n", [64, 77])  # divisible and ragged corpus sizes
+def test_ring_sharded_db_matches_brute_force(n):
+    """shard_db=True: the DB rotates around the mesh ring (ppermute);
+    results must equal the replicated-DB path and the brute force oracle,
+    including when N divides into neither the query nor the db tiling."""
+    from simhand_tpu.parallel import create_mesh
+
+    rng = np.random.default_rng(3)
+    kp = rng.uniform(0, 1, size=(n, 21, 2)).astype(np.float32)
+    vids = rng.integers(0, 8, size=n).astype(np.int32)
+    want_d, want_i = brute_force(kp, vids, 2)
+
+    mesh = create_mesh()
+    got_d, got_i = mine_similar_hands(
+        kp, vids, k=2, query_chunk=4, db_chunk=8, mesh=mesh, shard_db=True
+    )
+    np.testing.assert_allclose(got_d, want_d, rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(got_i, want_i)
+
+
 def test_excludes_same_video_and_self():
     rng = np.random.default_rng(2)
     N = 32

@@ -32,9 +32,14 @@ LOCAL_DEVICES = 4
 NPROC = 2
 
 
-def _build_and_step(local_slice):
+def _build_and_step(local_slice, fsdp: bool = False):
     """Shared by workers and the single-process reference: deterministic
-    state + one sharded train step; returns the (replicated) loss."""
+    state + one sharded train step; returns the (replicated) loss.
+
+    ``fsdp=True`` runs the ZeRO-3 path instead (parallel/fsdp.py): state
+    sharded over the mesh, each process carving its shards from the full
+    host value and feeding only its local batch slice — the multi-host
+    FSDP seam for real."""
     import jax
     import numpy as np
 
@@ -45,7 +50,11 @@ def _build_and_step(local_slice):
     from simhand_tpu.train import OptimizerConfig, create_train_state
     from simhand_tpu.train.loop import make_train_step
 
-    model = ContrastiveModel(resnet_size="18", bn_axis_name="data")
+    # bn_axis_name syncs BN across the shard_map replicas, which makes
+    # the DP loss identical to the FSDP path's inherent global-batch BN
+    model = ContrastiveModel(
+        resnet_size="18", bn_axis_name=None if fsdp else "data"
+    )
     cfg = ContrastiveConfig(
         experiment_type="simhand_w",
         augmentation=("crop", "rotate", "resize"),
@@ -57,12 +66,20 @@ def _build_and_step(local_slice):
         model, opt_cfg, jax.random.key(0), input_shape=(2, SIDE, SIDE, 3)
     )
     mesh = create_mesh()
-    state = replicate(mesh, state)
-    step = make_train_step(model, cfg, mesh=mesh)
-
     batch = _global_batch()
     local = {k: v[local_slice] for k, v in batch.items()}
-    gbatch = shard_batch(mesh, local)
+    if fsdp:
+        from simhand_tpu.parallel.fsdp import make_fsdp_train_step
+
+        step, place_state, place_batch = make_fsdp_train_step(
+            model, cfg, mesh, state
+        )
+        state = place_state(state)
+        gbatch = place_batch(local)
+    else:
+        state = replicate(mesh, state)
+        step = make_train_step(model, cfg, mesh=mesh)
+        gbatch = shard_batch(mesh, local)
     _, metrics = step(state, gbatch)
     return float(np.asarray(jax.device_get(metrics["contrastive_loss"])))
 
@@ -88,7 +105,7 @@ def _global_batch():
     }
 
 
-def run_worker(pid: int, port: int, out_path: str):
+def run_worker(pid: int, port: int, out_path: str, fsdp: bool = False):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -100,18 +117,19 @@ def run_worker(pid: int, port: int, out_path: str):
     assert jax.process_count() == NPROC
     assert len(jax.devices()) == NPROC * LOCAL_DEVICES
     per = GLOBAL_BATCH // NPROC
-    loss = _build_and_step(slice(pid * per, (pid + 1) * per))
+    loss = _build_and_step(slice(pid * per, (pid + 1) * per), fsdp=fsdp)
     with open(out_path, "w") as f:
         json.dump({"process": pid, "loss": loss}, f)
 
 
-def run_launcher():
+def run_launcher(fsdp: bool = False):
     import numpy as np
 
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
 
+    mode_args = ["--fsdp"] if fsdp else []
     tmp = tempfile.mkdtemp(prefix="dist_smoke_")
     procs, outs = [], []
     for pid in range(NPROC):
@@ -125,7 +143,8 @@ def run_launcher():
         env["JAX_PLATFORMS"] = "cpu"
         procs.append(subprocess.Popen(
             [sys.executable, os.path.abspath(__file__),
-             "--worker", str(pid), "--port", str(port), "--out", out],
+             "--worker", str(pid), "--port", str(port), "--out", out]
+            + mode_args,
             env=env,
         ))
     rcs = [p.wait(timeout=600) for p in procs]
@@ -144,7 +163,7 @@ def run_launcher():
     ref_out = os.path.join(tmp, "single.json")
     rc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--single",
-         "--out", ref_out],
+         "--out", ref_out] + mode_args,
         env=env, timeout=600,
     ).returncode
     if rc:
@@ -156,17 +175,18 @@ def run_launcher():
     match = bool(np.allclose(losses[0], ref, rtol=1e-5))
     print(json.dumps({
         "ok": same and match,
+        "mode": "fsdp" if fsdp else "dp",
         "multiprocess_losses": losses,
         "single_process_loss": ref,
     }))
     return 0 if (same and match) else 1
 
 
-def run_single(out_path: str):
+def run_single(out_path: str, fsdp: bool = False):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    loss = _build_and_step(slice(None))
+    loss = _build_and_step(slice(None), fsdp=fsdp)
     with open(out_path, "w") as f:
         json.dump({"loss": loss}, f)
 
@@ -177,12 +197,15 @@ def main():
     p.add_argument("--single", action="store_true")
     p.add_argument("--port", type=int, default=None)
     p.add_argument("--out", default=None)
+    p.add_argument("--fsdp", action="store_true", default=False,
+                   help="run the ZeRO-3 sharded-state step instead of "
+                        "replicated DP (parallel/fsdp.py multi-host seam)")
     args = p.parse_args()
     if args.worker is not None:
-        return run_worker(args.worker, args.port, args.out)
+        return run_worker(args.worker, args.port, args.out, fsdp=args.fsdp)
     if args.single:
-        return run_single(args.out)
-    sys.exit(run_launcher())
+        return run_single(args.out, fsdp=args.fsdp)
+    sys.exit(run_launcher(fsdp=args.fsdp))
 
 
 if __name__ == "__main__":

@@ -91,17 +91,22 @@ def fsdp_sharding(mesh: Mesh, tree, axis_name: str | None = None,
     return jax.tree.map(one, tree)
 
 
-def shard_state(mesh: Mesh, state, axis_name: str | None = None):
-    """Places a (host or replicated) train state in the FSDP layout.
+def _put_sharded(x, sharding):
+    """device_put single-process; multi-host, each process carves its
+    addressable shards out of the full host value (states are built
+    deterministically per process, same as parallel.mesh.replicate)."""
+    if jax.process_count() > 1:
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+    return jax.device_put(x, sharding)
 
-    Single-process only: multi-host FSDP placement needs each process to
-    carve its local shard out of the full value, which
-    ``jax.device_put`` with a ``NamedSharding`` already does when every
-    process holds the full array (our states are built deterministically
-    per process, same as parallel.mesh.replicate).
-    """
+
+def shard_state(mesh: Mesh, state, axis_name: str | None = None):
+    """Places a (host or replicated) train state in the FSDP layout."""
     shardings = fsdp_sharding(mesh, state, axis_name)
-    return jax.tree.map(jax.device_put, state, shardings)
+    return jax.tree.map(_put_sharded, state, shardings)
 
 
 def make_fsdp_train_step(model, cfg, mesh: Mesh, state, augment=None):
@@ -121,9 +126,18 @@ def make_fsdp_train_step(model, cfg, mesh: Mesh, state, augment=None):
     replicated = NamedSharding(mesh, P())
 
     def place_state(s):
-        return jax.tree.map(jax.device_put, s, state_shardings)
+        return jax.tree.map(_put_sharded, s, state_shardings)
 
     def place_batch(batch):
+        # multi-host: each process passes only its LOCAL slice of the
+        # global batch, assembled the same way as parallel.mesh.shard_batch
+        if jax.process_count() > 1:
+            return jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(
+                    batch_sharding, np.asarray(x)
+                ),
+                batch,
+            )
         return jax.tree.map(lambda x: jax.device_put(x, batch_sharding), batch)
 
     step = jax.jit(

@@ -12,18 +12,23 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.mark.slow
-def test_two_process_step_matches_single_process():
+@pytest.mark.parametrize("mode", ["dp", "fsdp"])
+def test_two_process_step_matches_single_process(mode):
     """2 coordinated CPU processes (4 devices each, one 8-device global
     mesh), each feeding its local half of the global batch, produce the
-    same train-step loss as one process on the full batch."""
+    same train-step loss as one process on the full batch — for both the
+    replicated shard_map DP step and the ZeRO-3 FSDP step (each process
+    carving its state shards from the full host value)."""
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
     env.pop("XLA_FLAGS", None)
+    cmd = [sys.executable, os.path.join(REPO, "scripts", "distributed_smoke.py")]
+    if mode == "fsdp":
+        cmd.append("--fsdp")
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts", "distributed_smoke.py")],
-        env=env, capture_output=True, text=True, timeout=900,
+        cmd, env=env, capture_output=True, text=True, timeout=900,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     result = json.loads(out.stdout.strip().splitlines()[-1])
-    assert result["ok"], result
+    assert result["ok"] and result["mode"] == mode, result
     assert result["multiprocess_losses"][0] == result["multiprocess_losses"][1]

@@ -1,0 +1,238 @@
+"""StableHLO serving artifacts: export / save / load / run.
+
+The reference's deployment path re-instantiates the torch module and
+loads a ``.pth`` in every consumer (hubconf.py:6-23,
+minimal-hand/demo.py). Here the deployable unit is instead a single
+self-contained file produced by ``jax.export``:
+
+* the frozen forward pass (``train=False``, running BN stats) is traced
+  once with the weights **baked in as constants** — the artifact needs
+  no checkpoint, no model code, and no flax at serve time;
+* ``batch="poly"`` exports with a symbolic batch dimension, so one
+  artifact serves any batch size (the TPU compiles per concrete shape on
+  first use, cached after);
+* ``platforms=("cpu", "tpu")`` lowers both targets into the same file —
+  the artifact a CI box validates is byte-identical to the one the TPU
+  pod serves.
+
+File format: ``SHTPU1\\n`` magic, an 8-byte little-endian header length,
+a JSON header (surface, backbone, input spec, jax version), then the
+``jax.export`` serialization.
+
+CLI (also a console script, see pyproject):
+
+  python -m simhand_tpu.serving.export --surface detnet \\
+      --pth runs/ft/detnet.pth --out detnet.shlo
+  python -m simhand_tpu.serving.export --surface encoder \\
+      --pth resnet50_simhand.pth --out encoder.shlo --batch 256
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import struct
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+_MAGIC = b"SHTPU1\n"
+
+
+# ---------------------------------------------------------------------------
+# forward builders (weights closed over -> baked into the export)
+# ---------------------------------------------------------------------------
+
+def build_detnet_forward(variables: dict, backbone: str = "50",
+                         dtype=jnp.bfloat16, side: int = 128) -> Callable:
+    """Frozen detnet pose inference: images (N, S, S, 3) f32 in [0, 1]-ish
+    -> {h_map, uv, xyz, delta} (the maps the demo/eval consume;
+    reference serving loop: minimal-hand/demo.py per-frame forward).
+    ``hm_res`` follows the input side (side/32 features, 3 deconv 2x ups)."""
+    from simhand_tpu.finetune.detnet import DetNet
+
+    model = DetNet(resnet_size=backbone, dtype=dtype, hm_res=side // 4)
+
+    def forward(images):
+        preds = model.apply(variables, images, train=False)
+        return {
+            "h_map": preds["h_map"],
+            "uv": preds["uv"],
+            "xyz": preds["xyz"],
+            "delta": preds["delta"],
+        }
+
+    return forward
+
+
+def build_encoder_forward(variables: dict, backbone: str = "50",
+                          dtype=jnp.bfloat16) -> Callable:
+    """Frozen contrastive encoder: images -> {embedding (N, 2048-D),
+    projection (N, 128-D L2-normalized)} — the pretrain product used for
+    retrieval / re-mining (reference: base_model.forward -> embeddings)."""
+    from simhand_tpu.models import ContrastiveModel
+
+    model = ContrastiveModel(resnet_size=backbone, dtype=dtype)
+
+    def forward(images):
+        emb, proj = model.apply(variables, images, train=False)
+        return {"embedding": emb, "projection": proj}
+
+    return forward
+
+
+# ---------------------------------------------------------------------------
+# export / artifact io
+# ---------------------------------------------------------------------------
+
+def export_forward(forward: Callable, side: int = 128,
+                   batch: int | str = "poly",
+                   platforms: Sequence[str] = ("cpu",)):
+    """Traces ``forward(images)`` into a ``jax.export.Exported``.
+
+    batch: a concrete int, or "poly" for a symbolic batch dimension
+    (serve any N from one artifact).
+    """
+    if batch == "poly":
+        (b,) = jax_export.symbolic_shape("b")
+    else:
+        b = int(batch)
+    spec = jax.ShapeDtypeStruct((b, side, side, 3), jnp.float32)
+    return jax_export.export(
+        jax.jit(forward), platforms=tuple(platforms)
+    )(spec)
+
+
+def save_artifact(path: str, exported, meta: dict) -> None:
+    """Single-file artifact: magic + JSON header + serialized export."""
+    header = dict(meta)
+    header.setdefault("jax_version", jax.__version__)
+    header.setdefault("platforms", list(exported.platforms))
+    blob = exported.serialize()
+    hdr = json.dumps(header).encode("utf-8")
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<Q", len(hdr)))
+        f.write(hdr)
+        f.write(blob)
+
+
+def load_artifact(path: str) -> tuple[Callable, dict]:
+    """Returns (callable images -> outputs dict, header metadata).
+
+    The callable is the deserialized export's ``.call`` — jit-compiled
+    per concrete input shape on first use; no model code or params
+    needed.
+    """
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        if magic != _MAGIC:
+            raise ValueError(f"{path}: not a simhand_tpu serving artifact")
+        (hdr_len,) = struct.unpack("<Q", f.read(8))
+        meta = json.loads(f.read(hdr_len).decode("utf-8"))
+        exported = jax_export.deserialize(bytearray(f.read()))
+    return exported.call, meta
+
+
+# ---------------------------------------------------------------------------
+# weight loading for the CLI
+# ---------------------------------------------------------------------------
+
+def _init_variables(surface: str, backbone: str, side: int, dtype) -> dict:
+    if surface == "detnet":
+        from simhand_tpu.finetune.detnet import DetNet
+
+        model = DetNet(resnet_size=backbone, dtype=dtype)
+        return model.init(jax.random.key(0),
+                          jnp.zeros((1, side, side, 3)))
+    from simhand_tpu.models import ContrastiveModel
+
+    model = ContrastiveModel(resnet_size=backbone, dtype=dtype)
+    return model.init(jax.random.key(0), jnp.zeros((2, side, side, 3)))
+
+
+def _load_variables(args, dtype) -> dict:
+    variables = _init_variables(args.surface, args.backbone, args.side,
+                                dtype)
+    variables = jax.tree.map(lambda x: x, variables)  # unfreeze copy
+    if args.pth and args.surface == "detnet":
+        from simhand_tpu.finetune.torch_port_detnet import (
+            torch_state_dict_to_detnet,
+        )
+        import torch
+
+        sd = torch.load(args.pth, map_location="cpu", weights_only=True)
+        params, stats = torch_state_dict_to_detnet(
+            {k: v.numpy() for k, v in sd.items()}
+        )
+        return {"params": params, "batch_stats": stats}
+    if args.pth:  # encoder: SiMHand release / torchvision .pth
+        from simhand_tpu.hub import load_encoder_into_contrastive
+
+        return load_encoder_into_contrastive(variables, args.pth)
+    if args.checkpoint:  # orbax run directory (template-free restore)
+        from simhand_tpu.train.checkpoint import CheckpointManager
+
+        tree = CheckpointManager(args.checkpoint).restore_tree()
+        if tree is None:
+            raise FileNotFoundError(
+                f"no checkpoint steps under {args.checkpoint}")
+        return {"params": tree["params"],
+                "batch_stats": tree.get("batch_stats", {})}
+    if not args.random_init:
+        raise SystemExit(
+            "one of --pth / --checkpoint / --random_init is required")
+    return variables
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--surface", choices=("detnet", "encoder"),
+                   required=True)
+    p.add_argument("--backbone", default="50")
+    p.add_argument("--side", type=int, default=128)
+    p.add_argument("--batch", default="poly",
+                   help='"poly" (any batch) or a concrete int')
+    p.add_argument("--dtype", choices=("bf16", "f32"), default="bf16")
+    p.add_argument("--platforms", default="cpu,tpu",
+                   help="comma-separated lowering targets")
+    p.add_argument("--pth", default=None,
+                   help="torch .pth weights (detnet.pth or encoder)")
+    p.add_argument("--checkpoint", default=None,
+                   help="orbax checkpoint directory")
+    p.add_argument("--random_init", action="store_true",
+                   help="export freshly initialized weights (smoke)")
+    p.add_argument("--out", required=True)
+    args = p.parse_args(argv)
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    variables = _load_variables(args, dtype)
+    if args.surface == "detnet":
+        forward = build_detnet_forward(
+            variables, backbone=args.backbone, dtype=dtype, side=args.side)
+    else:
+        forward = build_encoder_forward(
+            variables, backbone=args.backbone, dtype=dtype)
+    batch = args.batch if args.batch == "poly" else int(args.batch)
+    exported = export_forward(
+        forward, side=args.side, batch=batch,
+        platforms=[s.strip() for s in args.platforms.split(",") if s.strip()],
+    )
+    save_artifact(args.out, exported, {
+        "surface": args.surface,
+        "backbone": args.backbone,
+        "side": args.side,
+        "batch": batch,
+        "dtype": args.dtype,
+    })
+    print(json.dumps({
+        "artifact": args.out,
+        "surface": args.surface,
+        "platforms": list(exported.platforms),
+        "batch": batch,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,139 @@
+"""Serving artifacts: export -> save -> load -> call, vs direct apply.
+
+The deployable unit is a single StableHLO file with the weights baked in
+(simhand_tpu/serving/export.py) — the TPU-native replacement for the
+reference's load-a-.pth-into-the-module deployment (hubconf.py:6-23,
+minimal-hand/demo.py per-frame forward).
+"""
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def _images(n, side, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=(n, side, side, 3)), jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def encoder_export(tmp_path_factory):
+    from simhand_tpu.models import ContrastiveModel
+    from simhand_tpu.serving import (build_encoder_forward, export_forward,
+                                     save_artifact)
+
+    model = ContrastiveModel(resnet_size="18", dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), jnp.zeros((2, 32, 32, 3)))
+    forward = build_encoder_forward(variables, backbone="18",
+                                    dtype=jnp.float32)
+    exported = export_forward(forward, side=32, batch="poly",
+                              platforms=("cpu",))
+    path = str(tmp_path_factory.mktemp("srv") / "encoder.shlo")
+    save_artifact(path, exported, {"surface": "encoder", "backbone": "18",
+                                   "side": 32})
+    return forward, path
+
+
+def test_encoder_artifact_matches_direct_apply(encoder_export):
+    from simhand_tpu.serving import load_artifact
+
+    forward, path = encoder_export
+    call, meta = load_artifact(path)
+    assert meta["surface"] == "encoder" and meta["side"] == 32
+    x = _images(3, 32)
+    out, ref = call(x), forward(x)
+    np.testing.assert_allclose(out["embedding"], ref["embedding"],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(out["projection"], ref["projection"],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_batch_polymorphic_artifact_serves_any_batch(encoder_export):
+    from simhand_tpu.serving import load_artifact
+
+    forward, path = encoder_export
+    call, _ = load_artifact(path)
+    for n in (1, 5):
+        x = _images(n, 32, seed=n)
+        out = call(x)
+        assert out["embedding"].shape == (n, 512)
+        np.testing.assert_allclose(out["projection"], forward(x)["projection"],
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_artifact_rejects_foreign_file(tmp_path):
+    from simhand_tpu.serving import load_artifact
+
+    path = tmp_path / "not_an_artifact.shlo"
+    path.write_bytes(b"PK\x03\x04 definitely a zip")
+    with pytest.raises(ValueError, match="not a simhand_tpu serving"):
+        load_artifact(str(path))
+
+
+def test_detnet_artifact_round_trip(tmp_path):
+    from simhand_tpu.finetune.detnet import DetNet
+    from simhand_tpu.serving import (build_detnet_forward, export_forward,
+                                     load_artifact, save_artifact)
+
+    model = DetNet(resnet_size="18", dtype=jnp.float32, hm_res=16)
+    variables = model.init(jax.random.key(1), jnp.zeros((1, 64, 64, 3)))
+    forward = build_detnet_forward(variables, backbone="18",
+                                   dtype=jnp.float32, side=64)
+    exported = export_forward(forward, side=64, batch="poly",
+                              platforms=("cpu",))
+    path = str(tmp_path / "detnet.shlo")
+    save_artifact(path, exported, {"surface": "detnet", "backbone": "18",
+                                   "side": 64})
+    call, _ = load_artifact(path)
+    x = _images(2, 64, seed=3)
+    out, ref = call(x), forward(x)
+    assert (np.asarray(out["uv"]) == np.asarray(ref["uv"])).all()
+    np.testing.assert_allclose(out["xyz"], ref["xyz"], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(out["h_map"], ref["h_map"],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_multiplatform_lowering_cpu_tpu():
+    """One artifact lowered for cpu AND tpu — validated here without a
+    TPU attached (serving artifacts are built on CI boxes)."""
+    from simhand_tpu.models import ContrastiveModel
+    from simhand_tpu.serving import build_encoder_forward, export_forward
+
+    model = ContrastiveModel(resnet_size="18", dtype=jnp.bfloat16)
+    variables = model.init(jax.random.key(0), jnp.zeros((2, 32, 32, 3)))
+    forward = build_encoder_forward(variables, backbone="18",
+                                    dtype=jnp.bfloat16)
+    exported = export_forward(forward, side=32, batch=4,
+                              platforms=("cpu", "tpu"))
+    assert exported.platforms == ("cpu", "tpu")
+
+
+@pytest.mark.slow
+def test_export_cli_random_init(tmp_path):
+    """The console entry exports a loadable artifact end to end."""
+    out = tmp_path / "enc.shlo"
+    res = subprocess.run(
+        [sys.executable, "-m", "simhand_tpu.serving.export",
+         "--surface", "encoder", "--backbone", "18", "--side", "32",
+         "--batch", "2", "--dtype", "f32", "--platforms", "cpu",
+         "--random_init", "--out", str(out)],
+        capture_output=True, text=True, check=True,
+        env={"PYTHONPATH": "", "JAX_PLATFORMS": "cpu",
+             "PATH": "/usr/bin:/bin:/usr/local/bin",
+             "HOME": "/root"},
+        cwd="/root/repo",
+    )
+    info = json.loads(res.stdout.strip().splitlines()[-1])
+    assert info["surface"] == "encoder" and info["platforms"] == ["cpu"]
+
+    from simhand_tpu.serving import load_artifact
+
+    call, meta = load_artifact(str(out))
+    out_vals = call(_images(2, 32))
+    assert np.isfinite(np.asarray(out_vals["embedding"])).all()

@@ -62,6 +62,10 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--video", default=None, help="video path (default: webcam 0)")
     p.add_argument("--mano", default=None, help="MANO_RIGHT.pkl path")
+    p.add_argument("--artifact", default=None,
+                   help="serve from a StableHLO artifact "
+                        "(simhand-export-serving --surface detnet); "
+                        "replaces --pretrain/--backbone model setup")
     p.add_argument("--pretrain", default=None,
                    help="detnet .pth (torch interop) to load")
     p.add_argument("--backbone", default="50")
@@ -90,19 +94,28 @@ def main(argv=None):
     from simhand_tpu.finetune.detnet import DetNet
     from simhand_tpu.finetune.smoother import OneEuroFilter
 
-    model = DetNet(resnet_size=args.backbone)
-    variables = model.init(jax.random.key(0), jnp.zeros((1, 128, 128, 3)))
-    if args.pretrain:
-        import torch
+    if args.artifact:
+        # deployed path: the single-file StableHLO export carries the
+        # weights — no model construction, no checkpoint
+        from simhand_tpu.serving import load_artifact
 
-        from simhand_tpu.finetune.torch_port_detnet import (
-            torch_state_dict_to_detnet,
-        )
+        apply, _meta = load_artifact(args.artifact)
+    else:
+        model = DetNet(resnet_size=args.backbone)
+        variables = model.init(jax.random.key(0),
+                               jnp.zeros((1, 128, 128, 3)))
+        if args.pretrain:
+            import torch
 
-        sd = torch.load(args.pretrain, map_location="cpu", weights_only=True)
-        params, batch_stats = torch_state_dict_to_detnet(sd)
-        variables = {"params": params, "batch_stats": batch_stats}
-    apply = jax.jit(lambda img: model.apply(variables, img))
+            from simhand_tpu.finetune.torch_port_detnet import (
+                torch_state_dict_to_detnet,
+            )
+
+            sd = torch.load(args.pretrain, map_location="cpu",
+                            weights_only=True)
+            params, batch_stats = torch_state_dict_to_detnet(sd)
+            variables = {"params": params, "batch_stats": batch_stats}
+        apply = jax.jit(lambda img: model.apply(variables, img))
 
     mano = None
     if args.mano:

@@ -114,6 +114,47 @@ def test_multiplatform_lowering_cpu_tpu():
     assert exported.platforms == ("cpu", "tpu")
 
 
+def test_demo_serves_from_artifact(monkeypatch, tmp_path):
+    """The demo loop runs off the deployed artifact alone — no model
+    construction, no checkpoint (reference deployment: demo.py loads a
+    .pth into a freshly built torch module every time)."""
+    cv2 = pytest.importorskip("cv2")
+
+    import simhand_tpu.finetune.mano as mano_mod
+    from simhand_tpu.finetune.demo import main as demo_main
+    from simhand_tpu.finetune.detnet import DetNet
+    from simhand_tpu.serving import (build_detnet_forward, export_forward,
+                                     save_artifact)
+    from tests.test_mano import synthetic_mano
+
+    model = DetNet(resnet_size="18", dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 128, 128, 3)))
+    forward = build_detnet_forward(variables, backbone="18",
+                                   dtype=jnp.float32, side=128)
+    exported = export_forward(forward, side=128, batch=1,
+                              platforms=("cpu",))
+    artifact = str(tmp_path / "detnet.shlo")
+    save_artifact(artifact, exported, {"surface": "detnet",
+                                       "backbone": "18", "side": 128})
+
+    vid = str(tmp_path / "in.mp4")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 10, (160, 120))
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        w.write(rng.integers(0, 255, (120, 160, 3), dtype=np.uint8))
+    w.release()
+
+    monkeypatch.setattr(mano_mod, "ManoModel",
+                        lambda path: synthetic_mano())
+    out = str(tmp_path / "out.mp4")
+    demo_main(["--video", vid, "--artifact", artifact, "--max_frames", "2",
+               "--out", out, "--mano", "unused"])
+    cap = cv2.VideoCapture(out)
+    ok, frame = cap.read()
+    cap.release()
+    assert ok and frame.shape == (120, 240, 3)
+
+
 @pytest.mark.slow
 def test_export_cli_random_init(tmp_path):
     """The console entry exports a loadable artifact end to end."""

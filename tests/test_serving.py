@@ -114,6 +114,41 @@ def test_multiplatform_lowering_cpu_tpu():
     assert exported.platforms == ("cpu", "tpu")
 
 
+def test_embed_cli_over_crop_cache(encoder_export, tmp_path):
+    """simhand-embed streams a packed crop cache through the encoder
+    artifact: padded fixed-shape batches, device-side resize+normalize,
+    output matches the direct forward on identically preprocessed crops."""
+    pytest.importorskip("cv2")
+    import jax.numpy as jnp
+
+    from simhand_tpu.data.cache import (CachedHand100MSource,
+                                        build_crop_cache)
+    from simhand_tpu.data.sources import (Hand100MSource,
+                                          generate_synthetic_hand100m)
+    from simhand_tpu.serving.embed import _preprocess_fn, main as embed_main
+
+    forward, artifact = encoder_export
+    root = str(tmp_path / "h100m")
+    generate_synthetic_hand100m(root, num_images=11, num_videos=2, side=64)
+    cache_dir = str(tmp_path / "cache")
+    build_crop_cache(
+        Hand100MSource(root, source="100doh", scale="smoke"), cache_dir,
+        shard_size=8)
+
+    out = str(tmp_path / "emb.npy")
+    embed_main(["--artifact", artifact, "--cache", cache_dir,
+                "--batch", "4", "--out", out])
+    emb = np.load(out)
+    assert emb.shape == (11, 512) and np.isfinite(emb).all()
+
+    # oracle: same preprocess + direct apply on the raw crops
+    src = CachedHand100MSource(cache_dir)
+    crops = src.gather_crops(np.arange(11))
+    x = _preprocess_fn(32)(jnp.asarray(crops))
+    want = np.asarray(forward(x)["embedding"])
+    np.testing.assert_allclose(emb, want, rtol=1e-4, atol=1e-4)
+
+
 def test_demo_serves_from_artifact(monkeypatch, tmp_path):
     """The demo loop runs off the deployed artifact alone — no model
     construction, no checkpoint (reference deployment: demo.py loads a

@@ -233,10 +233,38 @@ def bench_cache_fed(setup):
     }))
 
 
+def wait_for_backend():
+    """Ride out a down/restarting axon worker (observed: cold outages and
+    watchdog restarts, CLAUDE.md). A hung in-process backend init cannot
+    be cancelled, so probe with disposable subprocesses — each does a
+    real value fetch — until one succeeds, then let this process init.
+    Instant no-op when the backend answers (incl. plain CPU). BENCH_WAIT
+    knobs: tries (default 8, 0 disables), per-probe timeout 240 s."""
+    import subprocess
+    import sys
+
+    tries = int(os.environ.get("BENCH_WAIT_TRIES", "8"))
+    code = ("import jax; x = jax.numpy.ones((8, 8));"
+            " print(float((x @ x).sum()))")
+    for i in range(tries):
+        try:
+            r = subprocess.run([sys.executable, "-c", code], timeout=240,
+                               capture_output=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"# backend probe {i + 1}/{tries} failed; retrying in 60s",
+              file=sys.stderr)
+        if i + 1 < tries:
+            time.sleep(60)
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
+    wait_for_backend()
     setup = build_bench_setup()
     if os.environ.get("BENCH_INPUT", "synthetic") == "cache":
         return bench_cache_fed(setup)

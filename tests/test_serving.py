@@ -149,6 +149,28 @@ def test_embed_cli_over_crop_cache(encoder_export, tmp_path):
     np.testing.assert_allclose(emb, want, rtol=1e-4, atol=1e-4)
 
 
+def test_embed_cli_over_image_glob(encoder_export, tmp_path):
+    """--images route: BGR files decoded to RGB, resized on device,
+    batched with a ragged final chunk."""
+    cv2 = pytest.importorskip("cv2")
+
+    from simhand_tpu.serving.embed import main as embed_main
+
+    forward, artifact = encoder_export
+    rng = np.random.default_rng(7)
+    for i in range(5):
+        cv2.imwrite(str(tmp_path / f"crop_{i}.png"),
+                    rng.integers(0, 255, (20, 20, 3), dtype=np.uint8))
+    out = str(tmp_path / "emb.npy")
+    embed_main(["--artifact", artifact, "--images",
+                str(tmp_path / "crop_*.png"), "--batch", "2",
+                "--what", "projection", "--out", out])
+    emb = np.load(out)
+    assert emb.shape == (5, 128) and np.isfinite(emb).all()
+    # distinct inputs produce distinct projections (decode/resize ran)
+    assert np.abs(emb[0] - emb[1]).max() > 1e-6
+
+
 def test_demo_serves_from_artifact(monkeypatch, tmp_path):
     """The demo loop runs off the deployed artifact alone — no model
     construction, no checkpoint (reference deployment: demo.py loads a

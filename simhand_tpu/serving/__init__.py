@@ -11,6 +11,9 @@ artifact.
 from simhand_tpu.serving.export import (  # noqa: F401
     build_detnet_forward,
     build_encoder_forward,
+    detnet_apply,
+    encoder_apply,
+    export_apply_quantized,
     export_forward,
     load_artifact,
     save_artifact,

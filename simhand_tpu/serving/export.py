@@ -29,12 +29,14 @@ CLI (also a console script, see pyproject):
 from __future__ import annotations
 
 import argparse
+import io
 import json
 import struct
-from typing import Any, Callable, Sequence
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import export as jax_export
 
 _MAGIC = b"SHTPU1\n"
@@ -44,17 +46,17 @@ _MAGIC = b"SHTPU1\n"
 # forward builders (weights closed over -> baked into the export)
 # ---------------------------------------------------------------------------
 
-def build_detnet_forward(variables: dict, backbone: str = "50",
-                         dtype=jnp.bfloat16, side: int = 128) -> Callable:
-    """Frozen detnet pose inference: images (N, S, S, 3) f32 in [0, 1]-ish
-    -> {h_map, uv, xyz, delta} (the maps the demo/eval consume;
-    reference serving loop: minimal-hand/demo.py per-frame forward).
-    ``hm_res`` follows the input side (side/32 features, 3 deconv 2x ups)."""
+def detnet_apply(backbone: str = "50", dtype=jnp.bfloat16,
+                 side: int = 128) -> Callable:
+    """(variables, images (N, S, S, 3) f32) -> {h_map, uv, xyz, delta}
+    (the maps the demo/eval consume; reference serving loop:
+    minimal-hand/demo.py per-frame forward). ``hm_res`` follows the
+    input side (side/32 features, 3 deconv 2x ups)."""
     from simhand_tpu.finetune.detnet import DetNet
 
     model = DetNet(resnet_size=backbone, dtype=dtype, hm_res=side // 4)
 
-    def forward(images):
+    def apply(variables, images):
         preds = model.apply(variables, images, train=False)
         return {
             "h_map": preds["h_map"],
@@ -63,67 +65,141 @@ def build_detnet_forward(variables: dict, backbone: str = "50",
             "delta": preds["delta"],
         }
 
-    return forward
+    return apply
 
 
-def build_encoder_forward(variables: dict, backbone: str = "50",
-                          dtype=jnp.bfloat16) -> Callable:
-    """Frozen contrastive encoder: images -> {embedding (N, 2048-D),
-    projection (N, 128-D L2-normalized)} — the pretrain product used for
-    retrieval / re-mining (reference: base_model.forward -> embeddings)."""
+def encoder_apply(backbone: str = "50", dtype=jnp.bfloat16) -> Callable:
+    """(variables, images) -> {embedding (N, 2048-D), projection
+    (N, 128-D)} — the pretrain product used for retrieval / re-mining
+    (reference: base_model.forward -> embeddings)."""
     from simhand_tpu.models import ContrastiveModel
 
     model = ContrastiveModel(resnet_size=backbone, dtype=dtype)
 
-    def forward(images):
+    def apply(variables, images):
         emb, proj = model.apply(variables, images, train=False)
         return {"embedding": emb, "projection": proj}
 
-    return forward
+    return apply
+
+
+def build_detnet_forward(variables: dict, backbone: str = "50",
+                         dtype=jnp.bfloat16, side: int = 128) -> Callable:
+    """Frozen detnet forward with the weights closed over (baked into an
+    export as constants)."""
+    apply = detnet_apply(backbone, dtype, side)
+    return lambda images: apply(variables, images)
+
+
+def build_encoder_forward(variables: dict, backbone: str = "50",
+                          dtype=jnp.bfloat16) -> Callable:
+    """Frozen encoder forward with the weights closed over."""
+    apply = encoder_apply(backbone, dtype)
+    return lambda images: apply(variables, images)
 
 
 # ---------------------------------------------------------------------------
 # export / artifact io
 # ---------------------------------------------------------------------------
 
-def export_forward(forward: Callable, side: int = 128,
-                   batch: int | str = "poly",
-                   platforms: Sequence[str] = ("cpu",)):
-    """Traces ``forward(images)`` into a ``jax.export.Exported``.
-
-    batch: a concrete int, or "poly" for a symbolic batch dimension
-    (serve any N from one artifact).
-    """
+def _image_spec(side: int, batch: int | str):
     if batch == "poly":
         (b,) = jax_export.symbolic_shape("b")
     else:
         b = int(batch)
-    spec = jax.ShapeDtypeStruct((b, side, side, 3), jnp.float32)
+    return jax.ShapeDtypeStruct((b, side, side, 3), jnp.float32)
+
+
+def export_forward(forward: Callable, side: int = 128,
+                   batch: int | str = "poly",
+                   platforms: Sequence[str] = ("cpu",)):
+    """Traces ``forward(images)`` into a ``jax.export.Exported`` with the
+    closed-over weights baked in as constants.
+
+    batch: a concrete int, or "poly" for a symbolic batch dimension
+    (serve any N from one artifact).
+    """
     return jax_export.export(
         jax.jit(forward), platforms=tuple(platforms)
-    )(spec)
+    )(_image_spec(side, batch))
 
 
-def save_artifact(path: str, exported, meta: dict) -> None:
-    """Single-file artifact: magic + JSON header + serialized export."""
+def export_apply_quantized(apply: Callable, variables: dict,
+                           side: int = 128, batch: int | str = "poly",
+                           platforms: Sequence[str] = ("cpu",)):
+    """int8 weight-only export: ``apply(variables, images)`` is traced
+    with the QUANTIZED weights as an *argument* pytree and the dequant
+    in-graph. Baking them as closed-over constants instead would fold
+    the dequant at trace time and store f32 (measured). Returns
+    (exported, qvariables) — save both via ``save_artifact(weights=...)``.
+    """
+    from simhand_tpu.serving.quant import (dequantize_variables,
+                                           quantize_variables)
+
+    qvars = jax.tree.map(np.asarray, quantize_variables(variables))
+
+    def forward(qv, images):
+        return apply(dequantize_variables(qv, jnp.float32), images)
+
+    specs = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), qvars)
+    exported = jax_export.export(
+        jax.jit(forward), platforms=tuple(platforms)
+    )(specs, _image_spec(side, batch))
+    return exported, qvars
+
+
+def _flatten_weights(tree, prefix=()):
+    if isinstance(tree, dict):
+        out = {}
+        for k, v in tree.items():
+            out.update(_flatten_weights(v, prefix + (k,)))
+        return out
+    return {"/".join(prefix): np.asarray(tree)}
+
+
+def _unflatten_weights(flat: dict) -> dict:
+    tree: dict = {}
+    for key, arr in flat.items():
+        node = tree
+        *parents, leaf = key.split("/")
+        for p in parents:
+            node = node.setdefault(p, {})
+        node[leaf] = arr
+    return tree
+
+
+def save_artifact(path: str, exported, meta: dict,
+                  weights: dict | None = None) -> None:
+    """Single-file artifact: magic + JSON header + [weights npz] +
+    serialized export. ``weights`` is the argument pytree of a
+    quantized export (None for constants-baked exports)."""
     header = dict(meta)
     header.setdefault("jax_version", jax.__version__)
     header.setdefault("platforms", list(exported.platforms))
+    wblob = b""
+    if weights is not None:
+        buf = io.BytesIO()
+        np.savez(buf, **_flatten_weights(weights))
+        wblob = buf.getvalue()
+    header["weights_len"] = len(wblob)
     blob = exported.serialize()
     hdr = json.dumps(header).encode("utf-8")
     with open(path, "wb") as f:
         f.write(_MAGIC)
         f.write(struct.pack("<Q", len(hdr)))
         f.write(hdr)
+        f.write(wblob)
         f.write(blob)
 
 
 def load_artifact(path: str) -> tuple[Callable, dict]:
     """Returns (callable images -> outputs dict, header metadata).
 
-    The callable is the deserialized export's ``.call`` — jit-compiled
+    The callable wraps the deserialized export's ``.call`` — compiled
     per concrete input shape on first use; no model code or params
-    needed.
+    needed. For quantized artifacts the int8 weight pytree is unpacked
+    from the container and placed on device once at load time.
     """
     with open(path, "rb") as f:
         magic = f.read(len(_MAGIC))
@@ -131,8 +207,14 @@ def load_artifact(path: str) -> tuple[Callable, dict]:
             raise ValueError(f"{path}: not a simhand_tpu serving artifact")
         (hdr_len,) = struct.unpack("<Q", f.read(8))
         meta = json.loads(f.read(hdr_len).decode("utf-8"))
+        wblob = f.read(meta.get("weights_len", 0))
         exported = jax_export.deserialize(bytearray(f.read()))
-    return exported.call, meta
+    if not wblob:
+        return exported.call, meta
+    with np.load(io.BytesIO(wblob)) as z:
+        weights = _unflatten_weights({k: z[k] for k in z.files})
+    weights = jax.device_put(weights)
+    return lambda images: exported.call(weights, images), meta
 
 
 # ---------------------------------------------------------------------------
@@ -195,6 +277,9 @@ def main(argv=None):
     p.add_argument("--batch", default="poly",
                    help='"poly" (any batch) or a concrete int')
     p.add_argument("--dtype", choices=("bf16", "f32"), default="bf16")
+    p.add_argument("--quantize", choices=("int8",), default=None,
+                   help="weight-only int8 storage (~4x smaller artifact; "
+                        "compute stays --dtype)")
     p.add_argument("--platforms", default="cpu,tpu",
                    help="comma-separated lowering targets")
     p.add_argument("--pth", default=None,
@@ -209,22 +294,28 @@ def main(argv=None):
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     variables = _load_variables(args, dtype)
     if args.surface == "detnet":
-        forward = build_detnet_forward(
-            variables, backbone=args.backbone, dtype=dtype, side=args.side)
+        apply = detnet_apply(backbone=args.backbone, dtype=dtype,
+                             side=args.side)
     else:
-        forward = build_encoder_forward(
-            variables, backbone=args.backbone, dtype=dtype)
+        apply = encoder_apply(backbone=args.backbone, dtype=dtype)
     batch = args.batch if args.batch == "poly" else int(args.batch)
-    exported = export_forward(
-        forward, side=args.side, batch=batch,
-        platforms=[s.strip() for s in args.platforms.split(",") if s.strip()],
-    )
-    save_artifact(args.out, exported, {
+    platforms = [s.strip() for s in args.platforms.split(",") if s.strip()]
+    weights = None
+    if args.quantize:
+        exported, weights = export_apply_quantized(
+            apply, variables, side=args.side, batch=batch,
+            platforms=platforms)
+    else:
+        exported = export_forward(
+            lambda images: apply(variables, images),
+            side=args.side, batch=batch, platforms=platforms)
+    save_artifact(args.out, exported, weights=weights, meta={
         "surface": args.surface,
         "backbone": args.backbone,
         "side": args.side,
         "batch": batch,
         "dtype": args.dtype,
+        "quantize": args.quantize,
     })
     print(json.dumps({
         "artifact": args.out,

@@ -205,6 +205,68 @@ def test_embed_cli_over_image_glob(encoder_export, tmp_path):
     assert np.abs(emb[0] - emb[1]).max() > 1e-6
 
 
+def test_microbatch_server_coalesces_requests(encoder_export):
+    """simhand-serve: concurrent HTTP requests coalesce into one padded
+    device batch; each caller gets its own row, equal to the direct
+    forward on the same preprocessed crop."""
+    import threading
+    import urllib.request
+
+    import jax.numpy as jnp
+
+    from simhand_tpu.serving import load_artifact
+    from simhand_tpu.serving.embed import _preprocess_fn
+    from simhand_tpu.serving.server import MicroBatcher, make_handler
+
+    forward, path = encoder_export
+    call, meta = load_artifact(path)
+    batcher = MicroBatcher(call, side=32, batch=8, max_wait_ms=200.0)
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(batcher))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        rng = np.random.default_rng(0)
+        imgs = [rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+                for _ in range(4)]
+        results: list = [None] * 4
+
+        def post(i):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/infer?h=32&w=32",
+                data=imgs[i].tobytes(), method="POST")
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                results[i] = json.loads(resp.read())
+
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=60)
+
+        # health endpoint
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=10) as r:
+            assert r.read() == b"ok\n"
+
+        # oracle: direct forward on the identically preprocessed batch,
+        # padded to the server's batch size like the executor does
+        crops = np.zeros((8, 32, 32, 3), np.uint8)
+        crops[:4] = np.stack(imgs)
+        want = np.asarray(forward(_preprocess_fn(32)(
+            jnp.asarray(crops)))["embedding"])[:4]
+        for i in range(4):
+            assert results[i] is not None, f"request {i} failed"
+            got = np.asarray(results[i]["embedding"], np.float32)
+            np.testing.assert_allclose(got, want[i], rtol=1e-4, atol=1e-4)
+    finally:
+        httpd.shutdown()
+        batcher.close()
+
+
 def test_demo_serves_from_artifact(monkeypatch, tmp_path):
     """The demo loop runs off the deployed artifact alone — no model
     construction, no checkpoint (reference deployment: demo.py loads a

@@ -58,9 +58,16 @@ def bench_matmul(m, k, n, steps):
     b16 = jnp.asarray(rng.normal(size=(k, n)), jnp.bfloat16)
 
     def step16(c):
-        # carry->input dependence so the loop cannot be hoisted
+        # carry->input dependence so the loop cannot be hoisted. The
+        # carry must (a) consume EVERY output element through a
+        # nonlinearity — a sliced carry lets XLA dead-code the matmul
+        # down to one dot-row (measured: "10,407 TFLOPS") and a plain
+        # sum is algebraically linear in c — and (b) stay bounded (a
+        # raw feedback overflows bf16 by ~trip 40 — measured). Both
+        # arms carry the identical reduce epilogue (~10% of the matmul
+        # time at these shapes) so the ratio stands.
         y = (a16 + c[0, 0]) @ b16
-        return y[:1, :1].astype(jnp.bfloat16) * 0 + y[:1, :1]
+        return jnp.tanh(jnp.mean(jnp.tanh(y))).reshape(1, 1)
 
     dt16 = timed_loop(lambda c: step16(c), jnp.zeros((1, 1), jnp.bfloat16), steps)
 
@@ -70,7 +77,10 @@ def bench_matmul(m, k, n, steps):
     def step8(c):
         y = jnp.dot((a8 + c[0, 0]).astype(jnp.int8), b8,
                     preferred_element_type=jnp.int32)
-        return (y[:1, :1] % 127).astype(jnp.int8)
+        # % blocks the linear-in-c simplification; full-sum keeps every
+        # element live (see step16)
+        s = jnp.sum(y % 127)
+        return (s % 127).astype(jnp.int8).reshape(1, 1)
 
     dt8 = timed_loop(lambda c: step8(c), jnp.zeros((1, 1), jnp.int8), steps)
     print(json.dumps({
@@ -99,7 +109,8 @@ def bench_conv(b, h, w, cin, cout, steps):
 
     def step16(c):
         y = conv(x16 + c[0, 0, 0, 0], k16)
-        return y[:1, :1, :1, :1] * 0 + y[:1, :1, :1, :1]
+        # full-reduce-through-nonlinearity carry — see bench_matmul
+        return jnp.tanh(jnp.mean(jnp.tanh(y))).reshape(1, 1, 1, 1)
 
     dt16 = timed_loop(step16, jnp.zeros((1, 1, 1, 1), jnp.bfloat16), steps)
 
@@ -109,7 +120,8 @@ def bench_conv(b, h, w, cin, cout, steps):
     def step8(c):
         y = conv((x8 + c[0, 0, 0, 0]).astype(jnp.int8), k8,
                  preferred_element_type=jnp.int32)
-        return (y[:1, :1, :1, :1] % 127).astype(jnp.int8)
+        s = jnp.sum(y % 127)  # see bench_matmul's step8
+        return (s % 127).astype(jnp.int8).reshape(1, 1, 1, 1)
 
     try:
         dt8 = timed_loop(step8, jnp.zeros((1, 1, 1, 1), jnp.int8), steps)

@@ -277,9 +277,16 @@ def main(argv=None):
     p.add_argument("--batch", default="poly",
                    help='"poly" (any batch) or a concrete int')
     p.add_argument("--dtype", choices=("bf16", "f32"), default="bf16")
-    p.add_argument("--quantize", choices=("int8",), default=None,
-                   help="weight-only int8 storage (~4x smaller artifact; "
-                        "compute stays --dtype)")
+    p.add_argument("--quantize", choices=("int8", "int8_compute"),
+                   default=None,
+                   help="int8: weight-only storage (~4x smaller artifact; "
+                        "compute stays --dtype). int8_compute: W8A8 — "
+                        "BN-folded int8 convs on the MXU's double-rate "
+                        "path (serving/int8_infer.py); needs --calib_npy "
+                        "for real calibration (random smoke otherwise)")
+    p.add_argument("--calib_npy", default=None,
+                   help="(N, S, S, 3) f32 npy of representative images "
+                        "for int8_compute activation-scale calibration")
     p.add_argument("--platforms", default="cpu,tpu",
                    help="comma-separated lowering targets")
     p.add_argument("--pth", default=None,
@@ -301,7 +308,32 @@ def main(argv=None):
     batch = args.batch if args.batch == "poly" else int(args.batch)
     platforms = [s.strip() for s in args.platforms.split(",") if s.strip()]
     weights = None
-    if args.quantize:
+    if args.quantize == "int8_compute":
+        from simhand_tpu.serving.int8_infer import (
+            build_detnet_int8, build_encoder_int8,
+            random_calibration_batches)
+
+        if args.calib_npy:
+            calib = [np.load(args.calib_npy).astype(np.float32)]
+        else:
+            print("int8_compute: no --calib_npy; calibrating on random "
+                  "images (smoke-grade scales)")
+            calib = random_calibration_batches(side=args.side)
+        if args.surface == "detnet":
+            det_fwd, _ = build_detnet_int8(
+                variables, backbone=args.backbone, calib_batches=calib,
+                hm_res=args.side // 4)
+
+            def forward(images):  # same key set as detnet_apply
+                preds = det_fwd(images)
+                return {k: preds[k] for k in
+                        ("h_map", "uv", "xyz", "delta")}
+        else:
+            forward, _ = build_encoder_int8(
+                variables, backbone=args.backbone, calib_batches=calib)
+        exported = export_forward(forward, side=args.side, batch=batch,
+                                  platforms=platforms)
+    elif args.quantize:
         exported, weights = export_apply_quantized(
             apply, variables, side=args.side, batch=batch,
             platforms=platforms)

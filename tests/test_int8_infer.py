@@ -1,0 +1,167 @@
+"""W8A8 int8-compute inference (simhand_tpu/serving/int8_infer.py).
+
+Three layers of evidence:
+1. FOLD PARITY — the f32 folded walker (BN folded into convs, same
+   structural walk the quantized path uses) must reproduce the flax
+   model's frozen forward to f32 roundoff. This pins the walker against
+   models/resnet.py and finetune/detnet.py exactly.
+2. QUANTIZATION QUALITY — the int8 forward must stay close to f32
+   (cosine on embeddings, absolute error on sigmoid-bounded maps).
+   uv equality is NOT asserted: random-init heatmaps are near-flat, so
+   their argmax flips under 1e-3 perturbations by construction.
+3. ARTIFACT — the export CLI path round-trips int8_compute through a
+   StableHLO file and matches the in-memory quantized forward exactly.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def _images(n, side, seed=1):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=(n, side, side, 3)), jnp.float32)
+
+
+def _calib(side):
+    from simhand_tpu.serving.int8_infer import random_calibration_batches
+
+    return random_calibration_batches(side=side, batch=4, n=2)
+
+
+@pytest.fixture(scope="module", params=["18", "50"])
+def encoder(request):
+    from simhand_tpu.models import ContrastiveModel
+
+    side = 64
+    model = ContrastiveModel(resnet_size=request.param, dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), jnp.zeros((2, side, side, 3)))
+    return request.param, side, model, variables
+
+
+def test_encoder_fold_parity(encoder):
+    from simhand_tpu.serving.int8_infer import fold_encoder_f32
+
+    backbone, side, model, variables = encoder
+    x = _images(4, side)
+    emb, proj = model.apply(variables, x, train=False)
+    out = jax.jit(fold_encoder_f32(variables, backbone))(x)
+    scale = float(jnp.max(jnp.abs(emb)))
+    assert float(jnp.max(jnp.abs(out["embedding"] - emb))) < 1e-4 * scale
+    np.testing.assert_allclose(out["projection"], proj, rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_encoder_int8_cosine(encoder):
+    from simhand_tpu.serving.int8_infer import build_encoder_int8
+
+    backbone, side, model, variables = encoder
+    x = _images(4, side)
+    emb, proj = model.apply(variables, x, train=False)
+    forward, report = build_encoder_int8(variables, backbone,
+                                         calib_batches=_calib(side))
+    out = jax.jit(forward)(x)
+    # rn18: "in" + stem + 8 blocks x (y1, out) = 18; rn50: 50
+    assert report["sites"] >= 18
+
+    def min_cos(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return float(np.min(
+            np.sum(a * b, -1)
+            / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1))))
+
+    assert min_cos(out["embedding"], emb) > 0.995
+    assert min_cos(out["projection"], proj) > 0.99
+
+
+def test_detnet_fold_parity_and_int8():
+    from simhand_tpu.finetune.detnet import DetNet
+    from simhand_tpu.serving.int8_infer import (build_detnet_int8,
+                                                fold_detnet_f32)
+
+    side = 64
+    model = DetNet(resnet_size="50", dtype=jnp.float32, hm_res=side // 4)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, side, side, 3)))
+    x = _images(2, side)
+    ref = model.apply(variables, x, train=False)
+
+    out = jax.jit(fold_detnet_f32(variables, "50", hm_res=side // 4))(x)
+    for k in ("h_map", "d_map", "l_map"):
+        np.testing.assert_allclose(out[k], ref[k], atol=1e-5)
+    # exact-fold argmax survives f32 roundoff on this seed
+    assert bool(jnp.all(out["uv"] == ref["uv"]))
+
+    qf, report = build_detnet_int8(variables, "50",
+                                   calib_batches=_calib(side),
+                                   hm_res=side // 4)
+    qo = jax.jit(qf)(x)
+    assert report["sites"] > 50
+    # h_map is sigmoid-bounded: absolute tolerance is meaningful
+    assert float(jnp.max(jnp.abs(qo["h_map"] - ref["h_map"]))) < 0.05
+    for k in ("d_map", "l_map"):
+        scale = float(jnp.max(jnp.abs(ref[k]))) + 1e-9
+        assert float(jnp.max(jnp.abs(qo[k] - ref[k]))) < 0.05 * max(
+            scale, 1.0)
+    for k in ("uv", "xyz", "delta"):
+        assert bool(jnp.all(jnp.isfinite(qo[k].astype(jnp.float32))))
+
+
+def test_int8_weights_actually_int8():
+    """The exported graph must carry int8 kernels (the whole point)."""
+    from simhand_tpu.models import ContrastiveModel
+    from simhand_tpu.serving.int8_infer import build_encoder_int8
+
+    side = 32
+    model = ContrastiveModel(resnet_size="18", dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), jnp.zeros((2, side, side, 3)))
+    forward, _ = build_encoder_int8(variables, "18",
+                                    calib_batches=_calib(side))
+    hlo = jax.jit(forward).lower(
+        jax.ShapeDtypeStruct((2, side, side, 3), jnp.float32)).as_text()
+    assert "tensor<3x3x64x64xi8>" in hlo  # a layer conv kernel, int8
+    assert "i32" in hlo  # int32 accumulation
+
+
+def test_int8_compute_artifact_roundtrip(tmp_path):
+    from simhand_tpu.models import ContrastiveModel
+    from simhand_tpu.serving import load_artifact
+    from simhand_tpu.serving.export import export_forward, save_artifact
+    from simhand_tpu.serving.int8_infer import build_encoder_int8
+
+    side = 32
+    model = ContrastiveModel(resnet_size="18", dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), jnp.zeros((2, side, side, 3)))
+    forward, _ = build_encoder_int8(variables, "18",
+                                    calib_batches=_calib(side))
+    exported = export_forward(forward, side=side, batch="poly",
+                              platforms=("cpu",))
+    path = str(tmp_path / "enc_int8.shlo")
+    save_artifact(path, exported, {"surface": "encoder", "backbone": "18",
+                                   "side": side, "quantize": "int8_compute"})
+    call, meta = load_artifact(path)
+    assert meta["quantize"] == "int8_compute"
+    x = _images(3, side)
+    got = call(x)
+    want = jax.jit(forward)(x)
+    np.testing.assert_allclose(got["embedding"], want["embedding"],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got["projection"], want["projection"],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_export_cli_int8_compute(tmp_path):
+    from simhand_tpu.serving import load_artifact
+    from simhand_tpu.serving.export import main as export_main
+
+    out = str(tmp_path / "enc.shlo")
+    export_main([
+        "--surface", "encoder", "--backbone", "18", "--side", "32",
+        "--random_init", "--quantize", "int8_compute",
+        "--platforms", "cpu", "--out", out,
+    ])
+    call, meta = load_artifact(out)
+    res = call(_images(2, 32))
+    assert res["embedding"].shape == (2, 512)
+    assert bool(jnp.all(jnp.isfinite(res["projection"])))

@@ -237,7 +237,7 @@ def test_microbatch_server_coalesces_requests(encoder_export):
             req = urllib.request.Request(
                 f"http://127.0.0.1:{port}/infer?h=32&w=32",
                 data=imgs[i].tobytes(), method="POST")
-            with urllib.request.urlopen(req, timeout=30) as resp:
+            with urllib.request.urlopen(req, timeout=180) as resp:
                 results[i] = json.loads(resp.read())
 
         threads = [threading.Thread(target=post, args=(i,))
@@ -245,7 +245,7 @@ def test_microbatch_server_coalesces_requests(encoder_export):
         for th in threads:
             th.start()
         for th in threads:
-            th.join(timeout=60)
+            th.join(timeout=240)
 
         # health endpoint
         with urllib.request.urlopen(

@@ -287,6 +287,11 @@ def main(argv=None):
     p.add_argument("--calib_npy", default=None,
                    help="(N, S, S, 3) f32 npy of representative images "
                         "for int8_compute activation-scale calibration")
+    p.add_argument("--calib_cache", default=None,
+                   help="packed crop cache directory (data/cache.py): "
+                        "sample crops and run them through the serving "
+                        "preprocess (resize + ImageNet normalize) as "
+                        "int8_compute calibration data")
     p.add_argument("--platforms", default="cpu,tpu",
                    help="comma-separated lowering targets")
     p.add_argument("--pth", default=None,
@@ -311,13 +316,16 @@ def main(argv=None):
     if args.quantize == "int8_compute":
         from simhand_tpu.serving.int8_infer import (
             build_detnet_int8, build_encoder_int8,
-            random_calibration_batches)
+            cache_calibration_batches, random_calibration_batches)
 
         if args.calib_npy:
             calib = [np.load(args.calib_npy).astype(np.float32)]
+        elif args.calib_cache:
+            calib = cache_calibration_batches(args.calib_cache,
+                                              side=args.side)
         else:
-            print("int8_compute: no --calib_npy; calibrating on random "
-                  "images (smoke-grade scales)")
+            print("int8_compute: no --calib_npy/--calib_cache; "
+                  "calibrating on random images (smoke-grade scales)")
             calib = random_calibration_batches(side=args.side)
         if args.surface == "detnet":
             det_fwd, _ = build_detnet_int8(

@@ -449,3 +449,22 @@ def random_calibration_batches(side: int = 128, batch: int = 32,
     rng = np.random.default_rng(seed)
     return [rng.normal(size=(batch, side, side, 3)).astype(np.float32)
             for _ in range(n)]
+
+
+def cache_calibration_batches(cache_dir: str, side: int = 128,
+                              batch: int = 32, n: int = 4, seed: int = 0):
+    """Representative calibration batches from a packed crop cache
+    (data/cache.py), preprocessed EXACTLY like the serving input path
+    (serving/embed.py: resize + ImageNet normalize) — activation scales
+    then match what the deployed artifact actually sees."""
+    from simhand_tpu.data.cache import CachedHand100MSource
+    from simhand_tpu.serving.embed import _preprocess_fn
+
+    src = CachedHand100MSource(cache_dir)
+    rng = np.random.default_rng(seed)
+    total = min(batch * n, len(src))
+    idx = rng.choice(len(src), size=total, replace=False)
+    preprocess = _preprocess_fn(side)
+    return [np.asarray(preprocess(jnp.asarray(
+        src.gather_crops(np.sort(idx[lo:lo + batch])))), np.float32)
+        for lo in range(0, total, batch)]

@@ -151,6 +151,31 @@ def test_int8_compute_artifact_roundtrip(tmp_path):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_cache_calibration_batches(tmp_path):
+    """Calibration sampled from a packed crop cache goes through the
+    serving preprocess (resize + ImageNet normalize) — same tensors the
+    deployed artifact sees."""
+    pytest.importorskip("cv2")
+    from simhand_tpu.data.cache import build_crop_cache
+    from simhand_tpu.data.sources import (Hand100MSource,
+                                          generate_synthetic_hand100m)
+    from simhand_tpu.serving.int8_infer import cache_calibration_batches
+
+    root = str(tmp_path / "h100m")
+    generate_synthetic_hand100m(root, num_images=10, num_videos=2, side=64)
+    cache_dir = str(tmp_path / "cache")
+    build_crop_cache(
+        Hand100MSource(root, source="100doh", scale="smoke"), cache_dir,
+        shard_size=8)
+
+    batches = cache_calibration_batches(cache_dir, side=32, batch=4, n=2)
+    assert len(batches) == 2
+    for b in batches:
+        assert b.shape == (4, 32, 32, 3) and b.dtype == np.float32
+        # ImageNet-normalized: not raw uint8 range
+        assert float(np.abs(b).max()) < 20.0 and float(np.abs(b).max()) > 0.1
+
+
 def test_export_cli_int8_compute(tmp_path):
     from simhand_tpu.serving import load_artifact
     from simhand_tpu.serving.export import main as export_main

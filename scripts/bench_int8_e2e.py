@@ -73,14 +73,18 @@ def main():
             variables, backbone, calib_batches=calib, hm_res=side // 4,
             calib_device=cpu)
 
+        # Both arms MUST consume the same output set: a uv-only carry
+        # lets XLA dead-code the whole xyz/delta branch out of one arm
+        # (measured: bf16 "26,920 img/s" vs the honest 16,298).
         def bf16_body(x):
-            return model.apply(variables, x, train=False)[
-                "uv"].astype(jnp.float32).mean()
+            p = model.apply(variables, x, train=False)
+            return (p["uv"].astype(jnp.float32).mean()
+                    + p["xyz"].astype(jnp.float32).mean())
 
         def int8_body(x):
             p = int8_fwd(x)
             return (p["uv"].astype(jnp.float32).mean()
-                    + p["xyz"].mean())
+                    + p["xyz"].astype(jnp.float32).mean())
     else:
         from simhand_tpu.models import ContrastiveModel
 

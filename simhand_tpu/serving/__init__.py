@@ -17,4 +17,5 @@ from simhand_tpu.serving.export import (  # noqa: F401
     export_forward,
     load_artifact,
     save_artifact,
+    shard_over_devices,
 )

@@ -106,6 +106,10 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--what", choices=("embedding", "projection"),
                    default="embedding")
+    p.add_argument("--shard_devices", action="store_true",
+                   help="shard each batch over ALL local devices (one "
+                        "process drives the whole mesh; --batch must "
+                        "divide by the device count)")
     p.add_argument("--out", required=True, help=".npy output path")
     args = p.parse_args(argv)
     if bool(args.cache) == bool(args.images):
@@ -114,6 +118,13 @@ def main(argv=None):
     from simhand_tpu.serving import load_artifact
 
     call, meta = load_artifact(args.artifact)
+    if args.shard_devices:
+        from simhand_tpu.serving import shard_over_devices
+
+        call, n_dev = shard_over_devices(call)
+        if args.batch % n_dev:
+            raise SystemExit(
+                f"--batch {args.batch} not divisible by {n_dev} devices")
     side = int(meta.get("side", 128))
     batches = (_iter_cache(args.cache, args.batch) if args.cache
                else _iter_images(args.images, args.batch))

@@ -193,6 +193,39 @@ def save_artifact(path: str, exported, meta: dict,
         f.write(blob)
 
 
+def shard_over_devices(call: Callable, devices=None) -> tuple[Callable, int]:
+    """Single-process multi-chip serving: wrap an artifact ``call`` so the
+    batch dimension shards over a 1-D ``("data",)`` mesh of ``devices``
+    (default: all local devices).
+
+    The deserialized export inlines into the wrapping ``jit``, so XLA's
+    SPMD partitioner splits every (batch-parallel) op across the mesh —
+    one process drives N chips with one call, activations never leave
+    their shard, and the (replicated) weights ride ICI once at compile
+    time. This is the one-process counterpart of the N-process scale-out
+    pattern in SCALING.md (disjoint cache ranges per process).
+
+    Returns ``(sharded_call, n_devices)``; callers must keep
+    ``batch % n_devices == 0`` (the embed CLI pads to the fixed batch
+    already, so it only checks the flag once).
+    """
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    devices = list(jax.devices() if devices is None else devices)
+    mesh = Mesh(np.array(devices), ("data",))
+    in_s = NamedSharding(mesh, PartitionSpec("data"))
+    fn = jax.jit(call, in_shardings=(in_s,))
+
+    def sharded(images):
+        if images.shape[0] % len(devices):
+            raise ValueError(
+                f"batch {images.shape[0]} not divisible by "
+                f"{len(devices)} devices")
+        return fn(images)
+
+    return sharded, len(devices)
+
+
 def load_artifact(path: str) -> tuple[Callable, dict]:
     """Returns (callable images -> outputs dict, header metadata).
 

@@ -267,6 +267,57 @@ def test_microbatch_server_coalesces_requests(encoder_export):
         batcher.close()
 
 
+def test_shard_over_devices_matches_single_device(encoder_export):
+    """Single-process multi-chip serving: the artifact call jitted with
+    the batch sharded over the 8-device ("data",) mesh — XLA's SPMD
+    partitioner splits the inlined StableHLO. Rows match the unsharded
+    call to f32 rounding (the partitioned program is a different
+    compilation — fusion/tiling choices shift the last ulps; the forward
+    itself has no cross-batch ops)."""
+    import jax
+
+    from simhand_tpu.serving import load_artifact, shard_over_devices
+
+    forward, path = encoder_export
+    call, _ = load_artifact(path)
+    sharded, n_dev = shard_over_devices(call)
+    assert n_dev == len(jax.devices()) == 8
+
+    x = _images(16, 32, seed=11)
+    out, ref = sharded(x), call(x)
+    for key in ("embedding", "projection"):
+        np.testing.assert_allclose(np.asarray(out[key]),
+                                   np.asarray(ref[key]),
+                                   rtol=1e-4, atol=1e-5)
+    # the computation genuinely ran distributed, not replicated
+    assert len(out["embedding"].sharding.device_set) == 8
+
+    with pytest.raises(ValueError, match="not divisible"):
+        sharded(_images(3, 32))
+
+
+def test_embed_cli_sharded_devices(encoder_export, tmp_path):
+    """--shard_devices drives all local devices from one process; output
+    matches the single-device run to f32 rounding."""
+    cv2 = pytest.importorskip("cv2")
+
+    from simhand_tpu.serving.embed import main as embed_main
+
+    _, artifact = encoder_export
+    rng = np.random.default_rng(3)
+    for i in range(11):
+        cv2.imwrite(str(tmp_path / f"c_{i:02d}.png"),
+                    rng.integers(0, 255, (32, 32, 3), dtype=np.uint8))
+    glob_pat = str(tmp_path / "c_*.png")
+    out1, out8 = str(tmp_path / "e1.npy"), str(tmp_path / "e8.npy")
+    embed_main(["--artifact", artifact, "--images", glob_pat,
+                "--batch", "8", "--out", out1])
+    embed_main(["--artifact", artifact, "--images", glob_pat,
+                "--batch", "8", "--shard_devices", "--out", out8])
+    np.testing.assert_allclose(np.load(out1), np.load(out8),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_demo_serves_from_artifact(monkeypatch, tmp_path):
     """The demo loop runs off the deployed artifact alone — no model
     construction, no checkpoint (reference deployment: demo.py loads a

@@ -73,12 +73,12 @@ def make_detnet_train_step(model, mesh=None, axis_name="data"):
     )
 
 
-def evaluate_detnet(model, state, dataset, builder, batch_size=64):
+def evaluate_detnet_forward(forward, dataset, builder, batch_size=64):
     """Root-relative scale-normalized 3D EPE/AUC + heatmap-space PCK
     (the reference's train-time accuracy meter,
-    minimal-hand/utils/eval/evalutils.py:54-76) over a dataset."""
-    import jax
-
+    minimal-hand/utils/eval/evalutils.py:54-76) over a dataset, for ANY
+    ``forward(images) -> preds`` callable — the flax apply, a BN-folded
+    serving forward, or the W8A8 int8 path (scripts/int8_quality.py)."""
     from simhand_tpu.finetune.datasets import detnet_batch_iterator
     from simhand_tpu.finetune.evaluation import (
         AverageMeter,
@@ -86,17 +86,12 @@ def evaluate_detnet(model, state, dataset, builder, batch_size=64):
         heatmap_pck,
     )
 
-    apply = jax.jit(
-        lambda params, stats, img: model.apply(
-            {"params": params, "batch_stats": stats}, img, train=False
-        )
-    )
     evaluator = EvalUtil()
     hm_acc = AverageMeter()
     for batch in detnet_batch_iterator(
         dataset, builder, batch_size, shuffle=False, drop_remainder=False
     ):
-        preds = apply(state.params, state.batch_stats, batch["img"])
+        preds = forward(batch["img"])
         hm_acc.update(
             heatmap_pck(np.asarray(preds["h_map"], np.float32),
                         batch["hm"], batch["hm_veil"]),
@@ -118,6 +113,21 @@ def evaluate_detnet(model, state, dataset, builder, batch_size=64):
         out.update({"epe_mean": epe_mean, "epe_median": epe_median,
                     "auc": auc})
     return out
+
+
+def evaluate_detnet(model, state, dataset, builder, batch_size=64):
+    """`evaluate_detnet_forward` over the live train state's flax apply."""
+    import jax
+
+    apply = jax.jit(
+        lambda params, stats, img: model.apply(
+            {"params": params, "batch_stats": stats}, img, train=False
+        )
+    )
+    return evaluate_detnet_forward(
+        lambda img: apply(state.params, state.batch_stats, img),
+        dataset, builder, batch_size,
+    )
 
 
 def main(argv=None):

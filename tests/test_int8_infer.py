@@ -190,3 +190,26 @@ def test_export_cli_int8_compute(tmp_path):
     res = call(_images(2, 32))
     assert res["embedding"].shape == (2, 512)
     assert bool(jnp.all(jnp.isfinite(res["projection"])))
+
+
+@pytest.mark.filterwarnings("ignore")
+@pytest.mark.slow
+def test_int8_quality_on_trained_detnet(tmp_path):
+    """Deployment-quality gate for the W8A8 path: after actually
+    fine-tuning detnet (synthetic-hand miniature, reduced budget), the
+    int8_compute forward must hold the f32 fold's task metrics — the
+    accuracy side of the measured 1.2x serving speedup
+    (scripts/int8_quality.py; full-budget numbers in SCALING.md)."""
+    import numpy as np
+
+    from scripts.int8_quality import run_int8_quality
+
+    result = run_int8_quality(str(tmp_path), train_steps=60)
+    f32, q = result["fold_f32"], result["int8"]
+    # fold parity: BN folding must not move the flax metrics
+    assert abs(result["flax"]["hm_pck"] - f32["hm_pck"]) < 1e-3, result
+    # int8: small bounded degradation on every meter
+    assert q["hm_pck"] > f32["hm_pck"] - 0.03, result
+    assert np.isfinite(q["epe_mean"]) and np.isfinite(q["auc"]), result
+    assert q["epe_mean"] < f32["epe_mean"] * 1.15 + 1e-6, result
+    assert q["auc"] > f32["auc"] - 0.05, result

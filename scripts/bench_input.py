@@ -39,6 +39,11 @@ def main():
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--threads", type=int, default=16)
     p.add_argument("--root", default="/tmp/simhand_input_bench")
+    p.add_argument("--cache_size", type=int, default=None,
+                   help="also bench a train-resolution cache at this crop "
+                        "side (e.g. 160) next to the 224 default — the "
+                        "--cache_size CLI lever; bytes/sample is the "
+                        "measured binding constraint (SCALING.md)")
     args = p.parse_args()
 
     from simhand_tpu.data.augment_cv2 import AugmentFlags, AugmentParams
@@ -98,6 +103,17 @@ def main():
 
     ds_raw = PretrainDataset(cached, "simhand_w", flags, params, seed=0)
     run(ds_raw, raw=True, label="raw_cache")
+
+    if args.cache_size:
+        src_small = Hand100MSource(args.root, source="100doh", scale="bench",
+                                   crop_size=args.cache_size)
+        small_dir = os.path.join(args.root, f"cache_{args.cache_size}")
+        if not os.path.exists(os.path.join(small_dir, "index.json")):
+            build_crop_cache(src_small, small_dir)
+        cached_small = CachedHand100MSource(small_dir)
+        ds_small = PretrainDataset(cached_small, "simhand_w", flags, params,
+                                   seed=0)
+        run(ds_small, raw=True, label=f"raw_cache{args.cache_size}")
 
     ds_cv2 = PretrainDataset(src, "simhand_w", flags, params, seed=0)
     run(ds_cv2, raw=False, label="cv2_host")

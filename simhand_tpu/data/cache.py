@@ -84,6 +84,7 @@ class CachedHand100MSource:
             idx = json.load(f)
         self.n = idx["num_samples"]
         self.shard_size = idx["shard_size"]
+        self.crop_size = int(idx.get("crop_size", 224))
         meta = np.load(os.path.join(cache_dir, "meta.npz"))
         self.joints3d = meta["joints3d"]
         self.joints_raw = meta["joints_raw"]

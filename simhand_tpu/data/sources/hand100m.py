@@ -65,10 +65,20 @@ class Hand100MSource:
         scale: str = "1m",
         split: str = "train",
         annotations: Hand100MAnnotations | None = None,
+        crop_size: int = CROP_SIZE,
     ):
+        """``crop_size``: side of the square hand crop. The reference
+        hard-codes 224 (ego4d_loader.py RES), but since keypoints are
+        stored NORMALIZED and pixel-scaled here (and pseudo-depth is
+        forced to 1.0), any crop size is exactly "the reference loader
+        at that resolution" — one resample from the full frame, no
+        geometry drift. Used by the train-resolution crop cache
+        (data/cache.py) to cut host+H2D bytes ~2-3x for the 128² model.
+        """
         self.root_dir = root_dir
         self.source = source
         self.split = split
+        self.crop_size = int(crop_size)
         if annotations is None:
             annotations = load_hand100m(annotation_path(root_dir, source, scale))
         self.db = annotations
@@ -84,7 +94,9 @@ class Hand100MSource:
         img_name = os.path.join(self.root_dir, img_rec["file_name"])
         img = cv2.cvtColor(cv2.imread(img_name), cv2.COLOR_BGR2RGB)
 
-        crop = crop_and_resize_box(img, self.db.boxes(idx), BOX_SCALE, CROP_SIZE)
+        crop = crop_and_resize_box(
+            img, self.db.boxes(idx), BOX_SCALE, self.crop_size
+        )
 
         joints25d = self.db.keypoints(idx).copy()        # normalized
         joints_raw = joints25d.copy()

@@ -173,6 +173,48 @@ def test_crop_cache_round_trip(synthetic_root, tmp_path):
     assert s["transformed_image1"].shape == (128, 128, 3)
 
 
+def test_train_resolution_cache(synthetic_root, tmp_path):
+    """--cache_size: a 160² crop cache is exactly 'the reference loader
+    at 160' (keypoints stored normalized; pseudo-depth 1.0) and feeds
+    the device-augment path unchanged (VERDICT r3 next #1)."""
+    from simhand_tpu.data.cache import CachedHand100MSource, build_crop_cache
+
+    src160 = Hand100MSource(
+        synthetic_root, source="100doh", scale="smoke", crop_size=160
+    )
+    s = src160[0]
+    assert s["image"].shape == (160, 160, 3)
+    # joints scale with the crop: pixel x/y = normalized * 160
+    src224 = Hand100MSource(synthetic_root, source="100doh", scale="smoke")
+    np.testing.assert_allclose(s["joints_raw"], src224[0]["joints_raw"])
+    np.testing.assert_allclose(
+        s["joints3D"][:, :2], src224[0]["joints3D"][:, :2] / 224.0 * 160.0,
+        atol=1e-4,
+    )
+
+    cache_dir = str(tmp_path / "cache160")
+    build_crop_cache(src160, cache_dir, shard_size=10)
+    cached = CachedHand100MSource(cache_dir)
+    assert cached.crop_size == 160
+    np.testing.assert_array_equal(cached[3]["image"], src160[3]["image"])
+
+    # raw batch -> on-device augmentation at the train resolution
+    ds = PretrainDataset(
+        cached, "simhand_w", default_flags(), AugmentParams(), seed=3
+    )
+    raw = ds.raw_batch(np.arange(4))
+    assert raw["image1"].shape == (4, 160, 160, 3)
+    import jax
+
+    from simhand_tpu.data.augment import prepare_views
+
+    views = prepare_views(
+        raw, jax.random.key(0), default_flags(), AugmentParams(), 128
+    )
+    assert views["transformed_image1"].shape == (4, 128, 128, 3)
+    assert np.isfinite(np.asarray(views["transformed_image1"])).all()
+
+
 def test_weighted_sampling_equalizes_sources(synthetic_root):
     from simhand_tpu.data.concat import ConcatSource
 

@@ -387,7 +387,7 @@ def prepare_views(
     v2 = device_augment(raw["image2"], raw["joints2"], k2, flags, params, out_size)
 
     def ori(jr):
-        j = jr.astype(jnp.float32)
+        j = jnp.asarray(jr, jnp.float32)
         return j.at[..., 0].mul(float(out_size)).at[..., 1].mul(float(out_size))
 
     return {

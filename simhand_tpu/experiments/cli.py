@@ -94,6 +94,12 @@ def get_general_args(
     parser.add_argument("--cache_dir", type=str, default=None,
                         help="TPU: packed-crop cache dir (built on first use); "
                              "removes per-step JPEG decode from the input path")
+    parser.add_argument("--cache_size", type=int, default=None,
+                        help="TPU: crop resolution the cache stores (default "
+                             "224 = reference CROP_SIZE). 160 cuts host+H2D "
+                             "bytes 2x with full crop-jitter+rotate margin "
+                             "for the 128-px model; exact loader-at-that-"
+                             "resolution semantics (joints are normalized)")
     parser.add_argument("--bn_variant", default="exact",
                         choices=["exact", "stop_grad", "fused", "fused_pallas"],
                         help="TPU: BatchNorm implementation. exact = flax BN "

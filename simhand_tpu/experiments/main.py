@@ -32,10 +32,17 @@ def build_sources(args, train_param):
     root = args.data_dir or constants.HAND2M_DATA
     scale = args.datasets_scale or "1m"
     sources = args.sources or ["ego4d"]
+    # --cache_size: train-resolution crops. Joints are stored normalized
+    # and pixel-scaled at load (hand100m.py), so any size is "the
+    # reference loader at that resolution" — the 224 default is the
+    # reference's RES; 160 cuts host+H2D bytes ~2x for the 128-px model.
+    src_kwargs = {}
+    if getattr(args, "cache_size", None):
+        src_kwargs["crop_size"] = int(args.cache_size)
     out = []
     for s in sources:
         if s in ("ego4d", "100doh"):
-            out.append(Hand100MSource(root, source=s, scale=scale))
+            out.append(Hand100MSource(root, source=s, scale=scale, **src_kwargs))
         elif s == "synthetic":
             from simhand_tpu.data.sources import generate_synthetic_hand100m
 
@@ -45,7 +52,8 @@ def build_sources(args, train_param):
             )
             if not os.path.exists(anno):
                 generate_synthetic_hand100m(synth_root, num_images=256, num_videos=16)
-            out.append(Hand100MSource(synth_root, source="100doh", scale="smoke"))
+            out.append(Hand100MSource(synth_root, source="100doh",
+                                      scale="smoke", **src_kwargs))
         else:
             raise NotImplementedError(
                 f"source {s!r} is a fine-tune-side dataset; use simhand_tpu.finetune"
@@ -108,6 +116,12 @@ def main(argv=None):
             logger.info("building packed crop cache at %s", args.cache_dir)
             build_crop_cache(source, args.cache_dir, progress=True)
         source = CachedHand100MSource(args.cache_dir)
+        if args.cache_size and source.crop_size != int(args.cache_size):
+            raise ValueError(
+                f"--cache_size {args.cache_size} does not match the existing "
+                f"cache at {args.cache_dir} (stores {source.crop_size}² "
+                f"crops); rebuild into a fresh --cache_dir"
+            )
     num_samples = len(source)
     logger.info("dataset: %d samples", num_samples)
 
@@ -209,7 +223,10 @@ def main(argv=None):
         step_fn = make_train_step(model, ccfg, mesh=mesh, augment=augment)
     from simhand_tpu.train import make_eval_step
 
-    eval_fn = make_eval_step(model, ccfg, mesh=mesh)
+    # eval consumes raw batches + deterministic on-device augmentation
+    # when the production fast path is active, so validation never goes
+    # blind under --device_augment (train/loop.py:make_eval_step).
+    eval_fn = make_eval_step(model, ccfg, mesh=mesh, augment=augment)
     if mesh is not None:
         state = place_state(state) if use_fsdp else replicate(mesh, state)
 
@@ -283,6 +300,7 @@ def main(argv=None):
         losses = []
         for i, batch in enumerate(
             batch_iterator(dataset, batch_size, shuffle=False,
+                           raw=args.device_augment,
                            num_threads=int(train_param.get("num_workers", 8)))
         ):
             if mesh is not None:
@@ -299,6 +317,17 @@ def main(argv=None):
         jax.profiler.start_trace(args.profile_dir)
 
     # ---------------- train loop ----------------
+    if args.device_augment:
+        # one-sample view reconstruction for the sample-pair figure
+        # (tiny B=1 program, compiled once per run, cached thereafter)
+        from simhand_tpu.data.augment import prepare_views
+        from simhand_tpu.train.loop import EVAL_AUGMENT_SEED
+
+        pair_views_fn = jax.jit(
+            lambda raw: prepare_views(
+                raw, jax.random.key(EVAL_AUGMENT_SEED), flags, params, side
+            )
+        )
     global_step = 0
     max_steps = args.max_steps
     num_workers = int(train_param.get("num_workers", 8))
@@ -337,15 +366,24 @@ def main(argv=None):
         for batch_idx, batch in enumerate(prefetch_iter):
             state, metrics = step_fn(state, batch)
             global_step += 1
-            if batch_idx == 4 and epoch % 5 == 0 and not args.device_augment:
+            if batch_idx == 4 and epoch % 5 == 0:
                 # sample-pair figure per few epochs (the reference's
                 # UploadCometLogs pushes figures at batch_idx==4,
-                # callbacks/upload_comet_logs.py:38-123)
+                # callbacks/upload_comet_logs.py:38-123). Under
+                # --device_augment the batch is raw; reconstruct the
+                # on-device views for one sample with the deterministic
+                # eval key so the figure shows what the model sees.
                 from simhand_tpu.utils.plots import plot_pair_images
 
+                if args.device_augment:
+                    views = pair_views_fn(
+                        {k: v[:1] for k, v in batch.items()}
+                    )
+                else:
+                    views = batch
                 fig = plot_pair_images(
-                    np.asarray(batch["transformed_image1"])[0],
-                    np.asarray(batch["transformed_image2"])[0],
+                    np.asarray(views["transformed_image1"])[0],
+                    np.asarray(views["transformed_image2"])[0],
                     title=f"epoch {epoch}",
                 )
                 metric_logger.log_figure("sample_pair", fig, global_step)
@@ -403,15 +441,38 @@ def main(argv=None):
             epoch, mean_loss, dt, batch_size * max(len(epoch_losses), 1) / dt,
         )
         metric_logger.log_metrics({"contrastive_loss_epoch": mean_loss}, global_step)
-        if n_val > 0 and not args.device_augment:
+        if n_val > 0:
             val_losses = []
             val_order = np.arange(num_samples - n_val, num_samples)
-            for b in range(len(val_order) // batch_size):
-                idxs = val_order[b * batch_size : (b + 1) * batch_size]
-                samples = [dataset.__getitem__(int(i), epoch=0) for i in idxs]
-                val_batch = {
-                    k: np.stack([s[k] for s in samples]) for k in samples[0]
-                }
+            n_full = len(val_order) // batch_size
+            if n_full:
+                val_batches = [
+                    val_order[b * batch_size : (b + 1) * batch_size]
+                    for b in range(n_full)
+                ]
+            else:
+                # fewer val samples than one batch: tile cyclically to
+                # the compiled batch shape (one program, never NaN)
+                val_batches = [np.resize(val_order, batch_size)]
+            for idxs in val_batches:
+                if args.device_augment:
+                    # raw batches; deterministic augmentation happens
+                    # on-device inside eval_fn (EVAL_AUGMENT_SEED)
+                    val_batch = dataset.raw_batch(idxs)
+                    if val_batch is None:
+                        pairs = [dataset.raw_pair(int(i)) for i in idxs]
+                        val_batch = {
+                            k: np.stack([s[k] for s in pairs])
+                            for k in pairs[0]
+                        }
+                else:
+                    samples = [
+                        dataset.__getitem__(int(i), epoch=0) for i in idxs
+                    ]
+                    val_batch = {
+                        k: np.stack([s[k] for s in samples])
+                        for k in samples[0]
+                    }
                 if mesh is not None:
                     val_batch = shard_batch(mesh, val_batch)
                 val_losses.append(

@@ -133,15 +133,39 @@ def make_train_step(
     return jax.jit(sharded, donate_argnums=(0,))
 
 
+#: fixed seed for the deterministic validation augmentation (distinct
+#: from the train step's key(0)-folded-with-step stream) — every epoch
+#: sees the SAME val views, so contrastive_loss_val is comparable
+#: across epochs.
+EVAL_AUGMENT_SEED = 1729
+
+
 def make_eval_step(
     model,
     cfg: ContrastiveConfig,
     mesh: Mesh | None = None,
     axis_name: str = DATA_AXIS,
+    augment=None,
 ) -> Callable:
-    """Validation step: frozen BN, loss only."""
+    """Validation step: frozen BN, loss only.
+
+    With ``augment=(AugmentFlags, AugmentParams, out_size)`` the step
+    consumes *raw* host batches (the ``--device_augment`` production
+    path) and augments both views on-device with a FIXED key
+    (EVAL_AUGMENT_SEED) — a deterministic eval route, so the fast path
+    is no longer blind on validation (reference analog: ModelCheckpoint
+    monitoring contrastive_loss, src/experiments/main.py:143-149).
+    """
 
     def eval_fn(state, batch, axis: str | None):
+        if augment is not None:
+            from simhand_tpu.data.augment import prepare_views
+
+            flags, params, out_size = augment
+            key = jax.random.key(EVAL_AUGMENT_SEED)
+            if axis is not None:
+                key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+            batch = prepare_views(batch, key, flags, params, out_size)
         images = jnp.concatenate(
             [batch["transformed_image1"], batch["transformed_image2"]], axis=0
         )

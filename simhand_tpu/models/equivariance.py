@@ -27,9 +27,17 @@ Array = jax.Array
 
 
 def _l2_normalize(x: Array, axis: int = -1, eps: float = 1e-12) -> Array:
-    # torch F.normalize semantics: x / max(||x||, eps)
-    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
-    return x / jnp.maximum(n, eps)
+    # torch F.normalize semantics: x / max(||x||, eps).
+    # The clamp goes INSIDE the sqrt (max is monotonic, so the forward is
+    # bit-identical) because jnp.linalg.norm's gradient at x == 0 is
+    # 0/0 = NaN and `0 * NaN = NaN` leaks through jnp.maximum's chain
+    # rule. An exactly-zero vector is reachable: per-device BN over a
+    # batch of identical rows (B=1 shards, duplicated views) zeroes the
+    # projection head's output, and torch defines the subgradient there
+    # as 0 — one poisoned device otherwise NaNs every replica via the
+    # gradient pmean.
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    return x / jnp.sqrt(jnp.maximum(sq, eps * eps))
 
 
 def translate_encodings(enc: Array, translate_x: Array, translate_y: Array) -> Array:

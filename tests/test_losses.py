@@ -332,3 +332,38 @@ def test_torch_median_semantics():
     assert float(m["EPE_median_train"]) == pytest.approx(
         float(torch.median(d)), rel=1e-6
     )
+
+
+def test_l2_normalize_zero_vector_gradient_finite():
+    """torch F.normalize subgradient at the exact zero vector is 0/eps —
+    never NaN. Reachable in training: per-device BN over identical rows
+    (B=1 shards + duplicated views) zeroes the projection head output,
+    and one poisoned device NaNs every replica through the grad pmean
+    (root-caused in round 4; fix: clamp inside the sqrt)."""
+    import jax
+
+    from simhand_tpu.models.equivariance import _l2_normalize
+
+    # forward unchanged for normal inputs
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    n = np.asarray(_l2_normalize(x))
+    np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-6)
+    # forward at zero: zero output (torch semantics: 0 / eps)
+    z = jnp.zeros((2, 16))
+    np.testing.assert_array_equal(np.asarray(_l2_normalize(z)), 0.0)
+    # gradient at zero: finite (1/eps scale), not NaN
+    g = jax.grad(lambda v: _l2_normalize(v).sum())(z)
+    assert np.isfinite(np.asarray(g)).all()
+
+    # end to end: nt_xent gradient through an exactly-zero projection row
+    from simhand_tpu.losses.contrastive import nt_xent
+
+    p = jnp.asarray(rng.standard_normal((3, 16)).astype(np.float32))
+    p = p.at[1].set(0.0)
+
+    def loss(p):
+        return nt_xent(_l2_normalize(p), _l2_normalize(p + 0.1), 0.5, None)
+
+    g = jax.grad(loss)(p)
+    assert np.isfinite(np.asarray(g)).all()

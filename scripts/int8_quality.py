@@ -45,6 +45,17 @@ def _pin_cpu():
             jax.config.update("jax_platforms", "cpu")
     except RuntimeError:
         pass  # backend already initialized (pytest harness: cpu)
+    # If a backend was already up and it is NOT cpu (e.g. the axon-tunnel
+    # TPU initialized by an earlier import), refuse to continue: the
+    # "deterministic CPU fixture" would silently fine-tune on TPU, paying
+    # multi-minute remote compiles and losing determinism.
+    backend = jax.default_backend()
+    if backend != "cpu":
+        raise RuntimeError(
+            f"int8_quality needs the CPU backend but jax already "
+            f"initialized {backend!r}; run in a fresh process with "
+            f"PYTHONPATH= JAX_PLATFORMS=cpu"
+        )
 
 
 def run_int8_quality(
@@ -139,11 +150,12 @@ def run_int8_quality(
     }
     result["int8_sites"] = report["sites"]
     f32, q = result["fold_f32"], result["int8"]
+    # only emit deltas for meters present in BOTH arms; a missing meter
+    # (e.g. no 3D joints in the eval set) becomes JSON null, never NaN —
+    # the output stays strict-JSON parseable.
     result["delta_int8_vs_f32"] = {
-        "hm_pck": q["hm_pck"] - f32["hm_pck"],
-        "epe_mean": q.get("epe_mean", float("nan"))
-        - f32.get("epe_mean", float("nan")),
-        "auc": q.get("auc", float("nan")) - f32.get("auc", float("nan")),
+        k: (q[k] - f32[k]) if (k in q and k in f32) else None
+        for k in ("hm_pck", "epe_mean", "auc")
     }
     return result
 

@@ -204,9 +204,15 @@ class _QuantOps:
 
 
 def _walk_resnet(ops, backbone: str, x, pool: bool):
-    """The single structural walk both interpretations share. Mirrors
-    simhand_tpu/models/resnet.py (torchvision layout, NHWC)."""
+    """The single structural walk all interpretations share. Mirrors
+    simhand_tpu/models/resnet.py (torchvision layout, NHWC).
+
+    If ``ops`` exposes ``block_override(name, x, stride, cin, cout)``
+    and it returns non-None, that value replaces the whole residual
+    block — the hook the whole-block Mosaic kernel plugs into
+    (ops/bottleneck_block.py)."""
     bott = backbone in _BOTTLENECK
+    override = getattr(ops, "block_override", None)
     x = ops.input("in", x)
     x = ops.conv_bn_relu("conv1", x, 2, [(3, 3), (3, 3)])
     x = ops.maxpool(x)
@@ -217,6 +223,12 @@ def _walk_resnet(ops, backbone: str, x, pool: bool):
         for b in range(n):
             stride = 2 if stage > 0 and b == 0 else 1
             name = f"layer{stage + 1}_{b}"
+            if override is not None:
+                y = override(name, x, stride, cin, cout)
+                if y is not None:
+                    x = y
+                    cin = cout
+                    continue
             shortcut = x
             if bott:
                 y = ops.conv_bn_relu(f"{name}/conv1", x, 1, "SAME")

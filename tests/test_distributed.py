@@ -32,3 +32,24 @@ def test_two_process_step_matches_single_process(mode):
     result = json.loads(out.stdout.strip().splitlines()[-1])
     assert result["ok"] and result["mode"] == mode, result
     assert result["multiprocess_losses"][0] == result["multiprocess_losses"][1]
+
+
+@pytest.mark.slow
+def test_two_process_ring_mining_matches_oracle():
+    """The third smoke arm (round-3 VERDICT next #8): the DB-sharded
+    ring top-k (lax.ppermute) over a REAL 2-process jax.distributed
+    ring — queries AND database sharded across processes — returns the
+    exact distances/indices of the single-process whole-corpus oracle
+    (mining north star, SURVEY §2.1 / BASELINE target #1)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts",
+                                      "distributed_smoke.py"), "--mine"],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    result = json.loads(out.stdout.strip().splitlines()[-1])
+    assert result["ok"] and result["mode"] == "mine_ring", result
+    assert result["distances_match"] and result["indices_match"], result

@@ -1,0 +1,108 @@
+"""SG-BN robustness grid: the evidence behind promoting
+``--bn_variant stop_grad`` (+12% train throughput, CLAUDE.md) from a
+bench env var to a shippable config — or killing it.
+
+Round-3 coverage was 3 corpus seeds with one budget-dependent sign flip
+(seed 2 negative at 60 pretrain steps, positive at 120). This runs the
+deterministic CPU transfer miniature (scripts/transfer_check.py) over
+>=5 corpus seeds x {exact, stop_grad} at the 120-step budget that
+resolved seed 2, plus an rn50 arm — the flagship backbone — at one seed
+(round-3 VERDICT next #4; reference BN handling anchor:
+src/models/base_model.py:32-53).
+
+Writes one JSON line per cell to --out (append; already-present cells
+are skipped, so the grid is resumable), then a summary line.
+
+    PYTHONPATH= JAX_PLATFORMS=cpu python scripts/bn_grid.py \
+        [--seeds 5] [--pretrain_steps 120] [--out bn_grid.jsonl]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts.transfer_check import run_transfer_check  # noqa: E402
+
+
+def _done(out_path: str) -> set:
+    done = set()
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if "cell" in rec:
+                    done.add(tuple(rec["cell"]))
+    return done
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--seeds", type=int, default=5)
+    p.add_argument("--pretrain_steps", type=int, default=120)
+    p.add_argument("--finetune_steps", type=int, default=60)
+    p.add_argument("--rn50_seed", type=int, default=0,
+                   help="corpus seed for the single rn50 arm (-1: skip)")
+    p.add_argument("--rn50_pretrain_steps", type=int, default=60,
+                   help="rn50 is ~8x rn18 CPU cost; the arm checks the "
+                        "bottleneck architecture, not the budget curve")
+    p.add_argument("--out", default="bn_grid.jsonl")
+    args = p.parse_args(argv)
+
+    import logging
+
+    logging.basicConfig(level=logging.WARNING)
+    cells = []
+    for seed in range(args.seeds):
+        for variant in ("exact", "stop_grad"):
+            cells.append(("18", seed, variant, args.pretrain_steps))
+    if args.rn50_seed >= 0:
+        for variant in ("exact", "stop_grad"):
+            cells.append(("50", args.rn50_seed, variant,
+                          args.rn50_pretrain_steps))
+
+    done = _done(args.out)
+    for backbone, seed, variant, psteps in cells:
+        cell = [backbone, seed, variant, psteps]
+        if tuple(cell) in done:
+            continue
+        workdir = tempfile.mkdtemp(prefix=f"bn_grid_{backbone}_{seed}_")
+        # the random arm is bn_variant-independent: run it on the exact
+        # pass only, reuse for the stop_grad row of the same seed
+        res = run_transfer_check(
+            workdir, pretrain_steps=psteps,
+            finetune_steps=args.finetune_steps,
+            bn_variant=variant, corpus_seed=seed,
+            skip_random=(variant != "exact"),
+            resnet_size=backbone,
+        )
+        rec = {"cell": cell, "pretrained": res["pretrained"],
+               "random": res["random"]}
+        with open(args.out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec), flush=True)
+
+    # summary: per-variant mean pretrained lossH / pck + per-seed margin
+    rows = [json.loads(l) for l in open(args.out) if l.strip()]
+    rows = [r for r in rows if "cell" in r]
+    summary = {}
+    for r in rows:
+        b, seed, variant, _ = r["cell"]
+        summary.setdefault(f"rn{b}_{variant}", []).append(
+            r["pretrained"]["lossH_final"])
+    print(json.dumps({
+        "summary_lossH_mean": {k: sum(v) / len(v)
+                               for k, v in summary.items()},
+        "cells": len(rows),
+    }))
+
+
+if __name__ == "__main__":
+    main()

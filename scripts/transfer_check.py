@@ -52,6 +52,7 @@ def run_transfer_check(
     corpus_seed: int = 0,
     experiment_type: str = "simhand_w",
     skip_random: bool = False,
+    resnet_size: str = "18",
 ) -> dict:
     """Runs both arms; returns {"random": metrics, "pretrained": metrics}.
 
@@ -73,7 +74,7 @@ def run_transfer_check(
 
     def finetune(out_dir: str, pretrain: str | None) -> dict:
         args = [
-            "--dataset", "synthetic-hand", "--backbone", "18",
+            "--dataset", "synthetic-hand", "--backbone", resnet_size,
             "--epochs", str(ft_epochs), "--batch_size", str(batch_size),
             "--max_steps", str(finetune_steps),
             "--eval_every", str(ft_epochs),  # final-epoch eval only
@@ -120,7 +121,7 @@ def run_transfer_check(
     argv = [
         "main.py", "--experiment_type", experiment_type, "--crop", "--resize",
         "--rotate", "-sources", "synthetic", "-batch_size",
-        str(batch_size), "-resnet_size", "18",
+        str(batch_size), "-resnet_size", resnet_size,
         "--data_dir", data_dir, "-experiment_name", "transfer_check",
         "-epochs", str(-(-pretrain_steps * batch_size // 128)),
         "--max_steps", str(pretrain_steps),
@@ -155,6 +156,7 @@ def main(argv=None):
                         "simclr (same-image positives) vs simhand_w "
                         "(mined similar-hand positives): the paper's "
                         "core-claim miniature")
+    p.add_argument("--resnet_size", default="18")
     p.add_argument("--workdir", default=None)
     args = p.parse_args(argv)
 
@@ -166,6 +168,7 @@ def main(argv=None):
         workdir, args.pretrain_steps, args.finetune_steps,
         args.batch_size, args.bn_variant, args.lr, args.corpus_seed,
         args.experiment_type, args.skip_random,
+        resnet_size=args.resnet_size,
     )
     print(json.dumps(result))
     return result

@@ -63,6 +63,9 @@ def main():
     arms = os.environ.get("BENCH_ARMS", "flax,folded,pallas").split(",")
     blocks = tuple(os.environ.get(
         "BENCH_BLOCKS", "layer4_1,layer4_2").split(","))
+    tap_mode = os.environ.get("BENCH_TAP_MODE", "loop")
+    tile_rows = os.environ.get("BENCH_TILE_ROWS")
+    tile_rows = int(tile_rows) if tile_rows else None
 
     model = ContrastiveModel(resnet_size=backbone, dtype=jnp.bfloat16)
     variables = model.init(jax.random.key(0), jnp.zeros((2, side, side, 3)))
@@ -77,7 +80,9 @@ def main():
         "flax": flax_fwd,
         "folded": make_folded_encoder_bf16(variables, backbone),
         "pallas": make_folded_encoder_bf16(variables, backbone,
-                                           pallas_blocks=blocks),
+                                           pallas_blocks=blocks,
+                                           tap_mode=tap_mode,
+                                           tile_rows=tile_rows),
     }
 
     results = {}
@@ -101,6 +106,8 @@ def main():
             "batch": B,
             "latency_ms": round(step_time * 1e3, 3),
             "blocks": list(blocks) if arm == "pallas" else None,
+            "tap_mode": tap_mode if arm == "pallas" else None,
+            "tile_rows": tile_rows if arm == "pallas" else None,
         }), flush=True)
 
     if "folded" in results and "pallas" in results:

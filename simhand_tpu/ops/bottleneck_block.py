@@ -44,7 +44,7 @@ TAPS = tuple((dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1))
 
 
 def _block_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-                  out_ref, *, h: int, w: int):
+                  out_ref, *, h: int, w: int, tap_mode: str):
     x = x_ref[...]                                          # (T, Cin) bf16
     t = x.shape[0]
     hw = h * w
@@ -53,21 +53,34 @@ def _block_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     h1 = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
     h1 = jnp.maximum(h1 + b1_ref[...], 0.0).astype(x.dtype)  # (T, Cm)
 
-    # conv2 3x3 'SAME' as 9 tap matmuls on row-shifted h1. Row r sits at
+    # conv2 3x3 'SAME' on row-shifted h1. Row r sits at
     # (y, x) = divmod(r % hw, w) inside its image; tap (dy, dx) reads row
     # r + dy*w + dx, valid only inside the image — masked rows are the
     # zero padding.
     pos = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0) % hw
     py, px = pos // w, pos % w
-    acc = jnp.zeros((t, w2_ref.shape[2]), jnp.float32)
-    for ti, (dy, dx) in enumerate(TAPS):
+
+    def tap(ti):
+        dy, dx = TAPS[ti]
         off = dy * w + dx
         shifted = h1 if off == 0 else jnp.roll(h1, -off, axis=0)
         valid = ((py + dy >= 0) & (py + dy < h)
                  & (px + dx >= 0) & (px + dx < w))
-        masked = jnp.where(valid, shifted, jnp.zeros_like(shifted))
-        acc += jnp.dot(masked, w2_ref[ti],
-                       preferred_element_type=jnp.float32)
+        return jnp.where(valid, shifted, jnp.zeros_like(shifted))
+
+    cm = w2_ref.shape[-1]
+    if tap_mode == "im2col":
+        # one (T, 9*Cm) @ (9*Cm, Cm) matmul — a single long-K MXU pass
+        # instead of 9 short-K ones (w2 is stored tap-major, so its
+        # (9*Cm, Cm) view is exactly the concat's contraction order)
+        cat = jnp.concatenate([tap(ti) for ti in range(9)], axis=1)
+        acc = jnp.dot(cat, w2_ref[...].reshape(9 * cm, cm),
+                      preferred_element_type=jnp.float32)
+    else:
+        acc = jnp.zeros((t, cm), jnp.float32)
+        for ti in range(9):
+            acc += jnp.dot(tap(ti), w2_ref[ti],
+                           preferred_element_type=jnp.float32)
     h2 = jnp.maximum(acc + b2_ref[...], 0.0).astype(x.dtype)  # (T, Cm)
 
     # conv3 1x1 + bias + shortcut add + relu
@@ -77,7 +90,8 @@ def _block_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
 
 
 def bottleneck_block(x2d, w1, b1, w2, b2, w3, b3, *, hw,
-                     tile_rows: int | None = None, interpret=None):
+                     tile_rows: int | None = None, tap_mode: str = "loop",
+                     interpret=None):
     """relu(x + conv1x1(relu(conv3x3(relu(conv1x1(x)·)+b2)·)+b3)) — one
     pallas program, identity shortcut (stride 1, Cin == Cout).
 
@@ -109,7 +123,8 @@ def bottleneck_block(x2d, w1, b1, w2, b2, w3, b3, *, hw,
             f"tile_rows={tile_rows} must be an image-aligned divisor of "
             f"{m} (H*W={img})")
 
-    kernel = functools.partial(_block_kernel, h=h, w=w)
+    kernel = functools.partial(_block_kernel, h=h, w=w,
+                               tap_mode=tap_mode)
     # weights/biases: whole-array VMEM operands — fetched once, resident
     # across the row-tile grid (constant index), never double-buffered
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -155,7 +170,10 @@ class FoldedBf16Ops:
     back to bf16 — the XLA arm of the block A/B, structurally identical
     to the pallas arm so the A/B isolates codegen, not math."""
 
-    def __init__(self, fw: dict, block_pallas: dict | None = None):
+    def __init__(self, fw: dict, block_pallas: dict | None = None,
+                 tap_mode: str = "loop", tile_rows: int | None = None):
+        self.tap_mode = tap_mode
+        self.tile_rows = tile_rows
         self.fw = {k: (jnp.asarray(w, jnp.bfloat16),
                        jnp.asarray(b, jnp.float32)) for k, (w, b) in
                    fw.items()}
@@ -204,12 +222,16 @@ class FoldedBf16Ops:
         if ops is None or stride != 1 or cin != cout:
             return None
         b, h, w, c = x.shape
-        y = bottleneck_block(x.reshape(b * h * w, c), *ops, hw=(h, w))
+        y = bottleneck_block(x.reshape(b * h * w, c), *ops, hw=(h, w),
+                             tap_mode=self.tap_mode,
+                             tile_rows=self.tile_rows)
         return y.reshape(b, h, w, c)
 
 
 def make_folded_encoder_bf16(variables: dict, backbone: str = "50",
-                             pallas_blocks: tuple = ()):
+                             pallas_blocks: tuple = (),
+                             tap_mode: str = "loop",
+                             tile_rows: int | None = None):
     """Frozen bf16 folded encoder forward (embedding only). With
     pallas_blocks=('layer4_1', 'layer4_2') the named identity blocks run
     as single Mosaic programs — the round-4 whole-block A/B arms."""
@@ -220,7 +242,8 @@ def make_folded_encoder_bf16(variables: dict, backbone: str = "50",
     fw = _fold_resnet(params, stats, backbone)
     block_ops = {name: fold_block_weights(fw, name)
                  for name in pallas_blocks}
-    ops = FoldedBf16Ops(fw, block_ops)
+    ops = FoldedBf16Ops(fw, block_ops, tap_mode=tap_mode,
+                        tile_rows=tile_rows)
 
     def forward(images):
         return _walk_resnet(ops, backbone, images, pool=True)

@@ -41,8 +41,9 @@ def _ref_block(x, w1, b1, w2, b2, w3, b3, hw):
     return y.astype(x.dtype).reshape(m, cin)
 
 
+@pytest.mark.parametrize("tap_mode", ["loop", "im2col"])
 @pytest.mark.parametrize("hw,imgs", [((4, 4), 8), ((2, 3), 4)])
-def test_block_matches_xla_chain(hw, imgs):
+def test_block_matches_xla_chain(hw, imgs, tap_mode):
     h, w = hw
     cin, cm = 256, 128
     m = imgs * h * w
@@ -55,7 +56,8 @@ def test_block_matches_xla_chain(hw, imgs):
     b2 = jnp.asarray(rng.standard_normal(cm), jnp.float32)
     b3 = jnp.asarray(rng.standard_normal(cin), jnp.float32)
 
-    got = bottleneck_block(x, w1, b1, w2, b2, w3, b3, hw=hw)
+    got = bottleneck_block(x, w1, b1, w2, b2, w3, b3, hw=hw,
+                           tap_mode=tap_mode)
     want = _ref_block(x, w1, b1, w2, b2, w3, b3, hw)
     assert got.dtype == jnp.bfloat16
     # identical bf16 rounding points -> near-bit parity; tolerance covers

@@ -273,8 +273,13 @@ def test_int8_quality_on_trained_detnet(tmp_path):
     f32, q = result["fold_f32"], result["int8"]
     # fold parity: BN folding must not move the flax metrics
     assert abs(result["flax"]["hm_pck"] - f32["hm_pck"]) < 1e-3, result
-    # int8: small bounded degradation on every meter
-    assert q["hm_pck"] > f32["hm_pck"] - 0.03, result
+    assert abs(result["flax"]["epe_mean"] - f32["epe_mean"]) < 1e-5 * (
+        1 + f32["epe_mean"]), result
+    # int8 gates tightened to the measured full-budget deltas
+    # (150-step run, SCALING.md round 4: hm_pck delta 0.0, epe_mean
+    # delta +0.10%, auc delta 0.0) with margin for this reduced
+    # 60-step budget's noisier arms
+    assert q["hm_pck"] > f32["hm_pck"] - 0.01, result
     assert np.isfinite(q["epe_mean"]) and np.isfinite(q["auc"]), result
-    assert q["epe_mean"] < f32["epe_mean"] * 1.15 + 1e-6, result
-    assert q["auc"] > f32["auc"] - 0.05, result
+    assert q["epe_mean"] < f32["epe_mean"] * 1.05 + 1e-6, result
+    assert q["auc"] > f32["auc"] - 0.02, result

@@ -150,16 +150,28 @@ def bench_cache_fed(setup):
     B, side = setup["B"], setup["side"]
     n_corpus = int(os.environ.get("BENCH_INPUT_N", "8192"))
     root = os.environ.get("BENCH_INPUT_ROOT", "/tmp/simhand_bench_cache")
+    # BENCH_INPUT_CACHE_SIZE=160: the train-resolution cache
+    # (--cache_size) — bytes/sample is the measured binding constraint
+    # of both host assembly and H2D, so a 160² cache moves ~2x less
+    # than the reference's 224² for the 128² model (round-4 VERDICT #1)
+    crop_size = int(os.environ.get("BENCH_INPUT_CACHE_SIZE", "224"))
 
-    cache_dir = os.path.join(root, f"cache_{n_corpus}")
+    suffix = "" if crop_size == 224 else f"_{crop_size}"
+    cache_dir = os.path.join(root, f"cache_{n_corpus}{suffix}")
     if not os.path.exists(os.path.join(cache_dir, "index.json")):
         from simhand_tpu.data.sources.hand100m import Hand100MSource
 
-        generate_synthetic_hand100m(
-            root, num_images=n_corpus, num_videos=64, scale="bench"
+        anno = os.path.join(
+            root, "annotations", "100DOH", "Hand100M_100DOH_bench_v1-1.json"
         )
+        if not os.path.exists(anno):
+            generate_synthetic_hand100m(
+                root, num_images=n_corpus, num_videos=64, scale="bench"
+            )
         build_crop_cache(
-            Hand100MSource(root, source="100doh", scale="bench"), cache_dir
+            Hand100MSource(root, source="100doh", scale="bench",
+                           crop_size=crop_size),
+            cache_dir,
         )
     source = CachedHand100MSource(cache_dir)
 

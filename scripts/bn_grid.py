@@ -24,9 +24,8 @@ import os
 import sys
 import tempfile
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-from scripts.transfer_check import run_transfer_check  # noqa: E402
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 
 def _done(out_path: str) -> set:
@@ -54,7 +53,28 @@ def main(argv=None):
                    help="rn50 is ~8x rn18 CPU cost; the arm checks the "
                         "bottleneck architecture, not the budget curve")
     p.add_argument("--out", default="bn_grid.jsonl")
+    p.add_argument("--one_cell", default=None,
+                   help="internal: run one [backbone, seed, variant, "
+                        "pretrain_steps] cell and print its record")
+    p.add_argument("--workdir", default=None)
     args = p.parse_args(argv)
+
+    if args.one_cell:
+        from scripts.transfer_check import run_transfer_check
+
+        backbone, seed, variant, psteps = json.loads(args.one_cell)
+        res = run_transfer_check(
+            args.workdir or tempfile.mkdtemp(prefix="bn_grid_cell_"),
+            pretrain_steps=int(psteps),
+            finetune_steps=args.finetune_steps,
+            bn_variant=variant, corpus_seed=int(seed),
+            skip_random=(variant != "exact"),
+            resnet_size=str(backbone),
+        )
+        print(json.dumps({"cell": [backbone, seed, variant, psteps],
+                          "pretrained": res["pretrained"],
+                          "random": res["random"]}))
+        return
 
     import logging
 
@@ -74,17 +94,26 @@ def main(argv=None):
         if tuple(cell) in done:
             continue
         workdir = tempfile.mkdtemp(prefix=f"bn_grid_{backbone}_{seed}_")
-        # the random arm is bn_variant-independent: run it on the exact
-        # pass only, reuse for the stop_grad row of the same seed
-        res = run_transfer_check(
-            workdir, pretrain_steps=psteps,
-            finetune_steps=args.finetune_steps,
-            bn_variant=variant, corpus_seed=seed,
-            skip_random=(variant != "exact"),
-            resnet_size=backbone,
-        )
-        rec = {"cell": cell, "pretrained": res["pretrained"],
-               "random": res["random"]}
+        # each cell runs in a FRESH subprocess: BASE_PATH, orbax
+        # checkpoint state and jax compilation caches are per-cell, so
+        # no cross-cell resume/collision is possible (the random arm is
+        # bn_variant-independent: run on the exact pass only)
+        import subprocess
+
+        cell_args = [
+            sys.executable, os.path.abspath(__file__), "--one_cell",
+            json.dumps(cell), "--finetune_steps",
+            str(args.finetune_steps), "--workdir", workdir,
+        ]
+        env = {**os.environ, "PYTHONPATH": REPO, "JAX_PLATFORMS": "cpu",
+               "BASE_PATH": os.path.join(workdir, "runs")}
+        proc = subprocess.run(cell_args, env=env, capture_output=True,
+                              text=True, timeout=14400)
+        if proc.returncode:
+            print(json.dumps({"cell": cell, "error": proc.stderr[-800:]}),
+                  flush=True)
+            continue
+        rec = json.loads(proc.stdout.strip().splitlines()[-1])
         with open(args.out, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), flush=True)

@@ -57,6 +57,10 @@ def main(argv=None):
                    help="internal: run one [backbone, seed, variant, "
                         "pretrain_steps] cell and print its record")
     p.add_argument("--workdir", default=None)
+    p.add_argument("--force_skip_random", action="store_true",
+                   help="internal: a random-init arm for this backbone "
+                        "already exists in the grid (it is corpus-seed- "
+                        "and bn-variant-independent) — don't re-run it")
     args = p.parse_args(argv)
 
     if args.one_cell:
@@ -68,7 +72,7 @@ def main(argv=None):
             pretrain_steps=int(psteps),
             finetune_steps=args.finetune_steps,
             bn_variant=variant, corpus_seed=int(seed),
-            skip_random=(variant != "exact"),
+            skip_random=(variant != "exact") or args.force_skip_random,
             resnet_size=str(backbone),
         )
         print(json.dumps({"cell": [backbone, seed, variant, psteps],
@@ -89,6 +93,17 @@ def main(argv=None):
                           args.rn50_pretrain_steps))
 
     done = _done(args.out)
+    # the random-init arm is corpus-seed- AND bn-variant-independent
+    # (it never touches the pretrain corpus) — run it once per backbone
+    have_random = set()
+    if os.path.exists(args.out):
+        for line in open(args.out):
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if rec.get("random") is not None and "cell" in rec:
+                have_random.add(rec["cell"][0])
     for backbone, seed, variant, psteps in cells:
         cell = [backbone, seed, variant, psteps]
         if tuple(cell) in done:
@@ -96,8 +111,7 @@ def main(argv=None):
         workdir = tempfile.mkdtemp(prefix=f"bn_grid_{backbone}_{seed}_")
         # each cell runs in a FRESH subprocess: BASE_PATH, orbax
         # checkpoint state and jax compilation caches are per-cell, so
-        # no cross-cell resume/collision is possible (the random arm is
-        # bn_variant-independent: run on the exact pass only)
+        # no cross-cell resume/collision is possible
         import subprocess
 
         cell_args = [
@@ -105,6 +119,8 @@ def main(argv=None):
             json.dumps(cell), "--finetune_steps",
             str(args.finetune_steps), "--workdir", workdir,
         ]
+        if backbone in have_random:
+            cell_args.append("--force_skip_random")
         env = {**os.environ, "PYTHONPATH": REPO, "JAX_PLATFORMS": "cpu",
                "BASE_PATH": os.path.join(workdir, "runs")}
         proc = subprocess.run(cell_args, env=env, capture_output=True,
@@ -114,6 +130,8 @@ def main(argv=None):
                   flush=True)
             continue
         rec = json.loads(proc.stdout.strip().splitlines()[-1])
+        if rec.get("random") is not None:
+            have_random.add(rec["cell"][0])
         with open(args.out, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), flush=True)

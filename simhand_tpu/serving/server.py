@@ -5,9 +5,13 @@ into device batches (up to ``--batch``, waiting at most ``--max_wait_ms``
 for stragglers), run through the artifact on a single executor thread
 (one device stream — concurrent programs would serialize anyway), and
 fanned back out. Micro-batching is what makes TPU serving throughput:
-a lone 128x128 crop cannot fill the MXU, 64 of them can.
+a lone 128x128 crop cannot fill the MXU, 128 of them can. The default
+``--batch 128`` is the measured device peak on v5e for BOTH bf16 and
+W8A8 int8 (SCALING.md batch sweep: bf16 52.6-56.0k img/s, int8
+59.9-60.9k; at B=64 the int8 advantage vanishes, above 128 the
+HBM-resident activation footprint erodes throughput).
 
-  simhand-serve --artifact enc.shlo --port 8080 --batch 64
+  simhand-serve --artifact enc.shlo --port 8080 --batch 128
   curl -X POST --data-binary @crop.rgb \\
       'http://host:8080/infer?h=128&w=128'    # raw uint8 RGB bytes
 
@@ -187,7 +191,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--artifact", required=True)
     p.add_argument("--port", type=int, default=8080)
-    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--batch", type=int, default=128)
     p.add_argument("--max_wait_ms", type=float, default=5.0)
     args = p.parse_args(argv)
     print(json.dumps({"serving": args.artifact, "port": args.port,

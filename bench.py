@@ -238,13 +238,22 @@ def bench_cache_fed(setup):
     dt = time.perf_counter() - t_start
     composed = (n_steps - warm) * B / dt
 
+    # Denominator: the measured device-only rate at the same per-chip
+    # batch (round-4 v5e sweep); nearest-batch fallback for unswept B so
+    # the ratio is never silently wrong-batch. NOTE this "vs_baseline" is
+    # composed-vs-device-rate, NOT the roofline target of the main metric
+    # — the extra fields make the ratio self-describing.
+    device_rate_by_batch = {96: 4128.0, 128: 4327.0, 192: 4193.0,
+                            256: 4077.0, 512: 3911.0}
+    denom_batch = min(device_rate_by_batch, key=lambda b: abs(b - B))
+    denom = device_rate_by_batch[denom_batch]
     print(json.dumps({
         "metric": "pretrain_images_per_sec_per_chip_cachefed",
         "value": round(composed, 2),
         "unit": "img/s/chip",
-        # vs the device-only rate at the same per-chip batch (round-4
-        # sweep: 128 -> 4,327, 256 -> 4,077 img/s)
-        "vs_baseline": round(composed / (4327.0 if B == 128 else 4077.0), 4),
+        "vs_baseline": round(composed / denom, 4),
+        "vs_baseline_denominator": denom,
+        "vs_baseline_denominator_batch": denom_batch,
         "host_assembly_images_per_sec": round(host_rate, 2),
         "h2d_link_mb_per_s": round(h2d_rate, 1),
         "steps": n_steps - warm,
@@ -253,55 +262,93 @@ def bench_cache_fed(setup):
     }))
 
 
-def wait_for_backend():
+LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "bench_last_good.json")
+
+
+def wait_for_backend() -> bool:
     """Ride out a down/restarting axon worker (observed: cold outages and
     watchdog restarts, CLAUDE.md). A hung in-process backend init cannot
     be cancelled, so probe with disposable subprocesses — each does a
     real value fetch — until one succeeds, then let this process init.
-    Instant no-op when the backend answers (incl. plain CPU). BENCH_WAIT
-    knobs: tries (default 8, 0 disables), per-probe timeout 240 s."""
+    Instant no-op when the backend answers (incl. plain CPU).
+
+    Probe timeouts escalate 60 s -> 180 s -> 300 s (worst case ~9.5 min
+    vs round 4's 8 x (240 s + 60 s) ≈ 40 min that blew the driver's
+    window before the benchmark even started): a healthy tunnel answers
+    in seconds and exits on probe 1; a degraded-but-alive tunnel
+    (observed round 5: 172 s for one value fetch) passes probe 2 or 3.
+    Returns True when a probe succeeded; False means the caller should
+    emit the stale last-known-good record instead of hanging.
+    BENCH_WAIT_TRIES=0 disables probing (treated as healthy)."""
     import subprocess
     import sys
 
-    tries = int(os.environ.get("BENCH_WAIT_TRIES", "8"))
+    tries = int(os.environ.get("BENCH_WAIT_TRIES", "3"))
+    if tries <= 0:
+        return True
+    timeouts = [60, 180, 300]
     code = ("import jax; x = jax.numpy.ones((8, 8));"
             " print(float((x @ x).sum()))")
     for i in range(tries):
+        timeout = timeouts[min(i, len(timeouts) - 1)]
         try:
-            r = subprocess.run([sys.executable, "-c", code], timeout=240,
-                               capture_output=True)
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=timeout, capture_output=True)
             if r.returncode == 0:
-                return
+                return True
         except subprocess.TimeoutExpired:
             pass
-        print(f"# backend probe {i + 1}/{tries} failed; retrying in 60s",
+        print(f"# backend probe {i + 1}/{tries} failed ({timeout}s)",
               file=sys.stderr)
         if i + 1 < tries:
-            time.sleep(60)
+            time.sleep(15)
+    return False
 
 
-def main():
+def emit_stale_record(reason: str) -> None:
+    """Print the last successful bench result, clearly marked stale, so a
+    backend outage at driver-snapshot time still leaves a parseable JSON
+    record (round-4's BENCH_r04.json was null for exactly this reason)."""
+    try:
+        with open(LAST_GOOD_PATH) as f:
+            rec = json.load(f)
+    except (OSError, ValueError):
+        rec = {"metric": "pretrain_images_per_sec_per_chip",
+               "value": None, "unit": "img/s/chip", "vs_baseline": None}
+    rec["stale"] = True
+    rec["stale_reason"] = reason
+    print(json.dumps(rec))
+
+
+def save_last_good(rec: dict) -> None:
+    try:
+        with open(LAST_GOOD_PATH, "w") as f:
+            json.dump(rec, f)
+            f.write("\n")
+    except OSError:
+        pass
+
+
+def measure_throughput(setup):
+    """Time the benched step and return (images_per_sec, vs_baseline).
+
+    Timing: N chained steps inside ONE jitted fori_loop with a *traced*
+    trip count — a single compile serves every N. Synchronization is by
+    fetching the final loss (on remote-tunnel backends block_until_ready
+    alone does not synchronize — only a data fetch does). Two trip
+    counts cancel the constant host<->device round trip, isolating pure
+    device step time."""
     import jax
     import jax.numpy as jnp
 
-    wait_for_backend()
-    setup = build_bench_setup()
-    if os.environ.get("BENCH_INPUT", "synthetic") == "cache":
-        return bench_cache_fed(setup)
+    from simhand_tpu.train.loop import _step_fn
+
     model, cfg = setup["model"], setup["cfg"]
     state, batch = setup["state"], setup["batch"]
     B, side, steps = setup["B"], setup["side"], setup["steps"]
     resnet_size = setup["resnet_size"]
-
     device = jax.devices()[0]
-
-    # Timing: N chained steps inside ONE jitted fori_loop with a *traced*
-    # trip count — a single compile serves every N. Synchronization is by
-    # fetching the final loss (on remote-tunnel backends
-    # block_until_ready alone does not synchronize — only a data fetch
-    # does). Two trip counts cancel the constant host<->device round trip,
-    # isolating pure device step time.
-    from simhand_tpu.train.loop import _step_fn
 
     @jax.jit
     def run(state, batch, n):
@@ -352,18 +399,69 @@ def main():
     roofline_images_per_sec = roofline_steps_per_sec * B
     target = 0.9 * roofline_images_per_sec
     vs_baseline = images_per_sec / target if target > 0 else 0.0
+    return images_per_sec, vs_baseline
 
-    print(
-        json.dumps(
-            {
-                "metric": "pretrain_images_per_sec_per_chip",
-                "value": round(images_per_sec, 2),
-                "unit": "img/s/chip",
-                "vs_baseline": round(vs_baseline, 4),
-            }
-        )
-    )
+
+def main():
+    t_begin = time.perf_counter()
+    if not wait_for_backend():
+        return emit_stale_record("backend unreachable after probe budget")
+
+    import jax
+
+    setup = build_bench_setup()
+    if os.environ.get("BENCH_INPUT", "synthetic") == "cache":
+        return bench_cache_fed(setup)
+    B, side = setup["B"], setup["side"]
+    resnet_size = setup["resnet_size"]
+    device = jax.devices()[0]
+    on_tpu = "cpu" not in getattr(device, "device_kind", "cpu").lower()
+
+    images_per_sec, vs_baseline = measure_throughput(setup)
+    rec = {
+        "metric": "pretrain_images_per_sec_per_chip",
+        "value": round(images_per_sec, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(vs_baseline, 4),
+    }
+
+    is_default = (B == 128 and side == 128 and resnet_size == "50"
+                  and os.environ.get("BENCH_BN_SG", "0") != "1")
+    # Second arm: the promoted stop-grad-BN production config (round-5
+    # SG-BN grid: 5/5 seeds quality-positive, +13% throughput) measured
+    # in the same invocation so it enters the driver record as extra
+    # fields on the same JSON line. Skipped when the tunnel is degraded
+    # (slow main arm) so the headline record is never at risk.
+    if (is_default and on_tpu
+            and os.environ.get("BENCH_SG_ARM", "1") == "1"
+            and time.perf_counter() - t_begin < 600):
+        try:
+            os.environ["BENCH_BN_SG"] = "1"
+            sg_ips, sg_vs = measure_throughput(build_bench_setup())
+            rec["bn_sg_images_per_sec"] = round(sg_ips, 2)
+            rec["bn_sg_vs_baseline"] = round(sg_vs, 4)
+            rec["bn_sg_note"] = ("--bn_variant stop_grad, the documented "
+                                 "recommended production config")
+        except Exception as exc:  # noqa: BLE001 — optional arm must not
+            # take down the headline record
+            rec["bn_sg_error"] = f"{type(exc).__name__}: {exc}"
+        finally:
+            os.environ["BENCH_BN_SG"] = "0"
+
+    print(json.dumps(rec))
+    # Only the default configuration is a valid stale stand-in for the
+    # driver's headline record.
+    if is_default and on_tpu:
+        save_last_good(rec)
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001 — a worker crash mid-run must
+        # still leave a parseable record for the driver; the real
+        # traceback goes to stderr for humans.
+        import traceback
+
+        traceback.print_exc()
+        emit_stale_record(f"bench crashed: {type(exc).__name__}: {exc}")

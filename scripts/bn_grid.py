@@ -53,6 +53,10 @@ def main(argv=None):
                    help="rn50 is ~8x rn18 CPU cost; the arm checks the "
                         "bottleneck architecture, not the budget curve")
     p.add_argument("--out", default="bn_grid.jsonl")
+    p.add_argument("--variants", default="exact,stop_grad",
+                   help="comma-separated bn variants; order = run order "
+                        "(run the arm you need answered first first — "
+                        "cells land in --out as they complete)")
     p.add_argument("--one_cell", default=None,
                    help="internal: run one [backbone, seed, variant, "
                         "pretrain_steps] cell and print its record")
@@ -83,12 +87,13 @@ def main(argv=None):
     import logging
 
     logging.basicConfig(level=logging.WARNING)
+    variants = tuple(v.strip() for v in args.variants.split(",") if v.strip())
     cells = []
-    for seed in range(args.seeds):
-        for variant in ("exact", "stop_grad"):
+    for variant in variants:           # variant-major: the first-listed
+        for seed in range(args.seeds):  # arm completes across all seeds
             cells.append(("18", seed, variant, args.pretrain_steps))
     if args.rn50_seed >= 0:
-        for variant in ("exact", "stop_grad"):
+        for variant in variants:
             cells.append(("50", args.rn50_seed, variant,
                           args.rn50_pretrain_steps))
 

@@ -155,7 +155,7 @@ def run_int8_quality(
     # the output stays strict-JSON parseable.
     result["delta_int8_vs_f32"] = {
         k: (q[k] - f32[k]) if (k in q and k in f32) else None
-        for k in ("hm_pck", "epe_mean", "auc")
+        for k in ("hm_pck", "hm_pck_loose", "hm_dist", "epe_mean", "auc")
     }
     return result
 

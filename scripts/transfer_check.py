@@ -91,11 +91,22 @@ def run_transfer_check(
         auc = np.load(os.path.join(out_dir, "auc_all.npy"),
                       allow_pickle=True).item()
         key = next(iter(acc))
-        return {
+        out = {
             "lossH_final": float(lossH[-1, 1]),
             "hm_pck": float(acc[key][-1][1]),
             "auc": float(auc[key][-1][1]) if auc else float("nan"),
         }
+        # non-degenerate heatmap signals (round-5: strict PCK and 3D AUC
+        # read 0.0 at these budgets — hm_extras keeps two more columns
+        # informative per cell)
+        extras_path = os.path.join(out_dir, "hm_extras_all.npy")
+        if os.path.exists(extras_path):
+            extras = np.load(extras_path, allow_pickle=True).item()
+            if extras:
+                row = extras[next(iter(extras))][-1]
+                out["hm_pck_loose"] = float(row[1])
+                out["hm_dist"] = float(row[2])
+        return out
 
     # --- arm (a): random init -------------------------------------------
     random_metrics = None

@@ -104,7 +104,9 @@ def get_general_args(
                         choices=["exact", "stop_grad", "fused", "fused_pallas"],
                         help="TPU: BatchNorm implementation. exact = flax BN "
                              "(reference semantics, default); stop_grad = "
-                             "no-backprop-through-stats (+12%% measured); "
+                             "no-backprop-through-stats (+12-13%% measured; "
+                             "RECOMMENDED production config — 5/5-seed "
+                             "quality-positive in the SG-BN grid, SCALING.md); "
                              "fused / fused_pallas = hand-written analytic "
                              "VJP (exact gradients; see models/fused_bn.py)")
     parser.add_argument("--fault_inject_preempt_step", type=int, default=None,

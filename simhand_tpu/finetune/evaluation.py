@@ -207,15 +207,11 @@ class AverageMeter:
         self.avg = self.sum / max(self.count, 1)
 
 
-def heatmap_pck(pred_hm: np.ndarray, gt_hm: np.ndarray, veil: np.ndarray,
-                threshold: float = 0.5) -> float:
-    """Heatmap-space PCK, the reference's exact protocol
-    (utils/eval/evalutils.py:29-76 accuracy_heatmap/calc_dists/dist_acc):
-    per-joint fraction of valid samples whose predicted argmax lies
-    within ``threshold * W / 10`` pixels of the GT argmax, MACRO-averaged
-    over joints with at least one valid sample. A sample-joint is
-    invalid when the veil is 0 OR its GT argmax row/col < 1 (empty or
-    border heatmap). Shapes: (B, H, W, J); veil (B, J)."""
+def _heatmap_dists(pred_hm: np.ndarray, gt_hm: np.ndarray,
+                   veil: np.ndarray):
+    """Normalized argmax distances + validity mask shared by the heatmap
+    metrics (the reference's calc_dists, utils/eval/evalutils.py:29-47).
+    Returns (d (B, J) in units of W/10 px, valid (B, J) bool)."""
     B, H, W, J = pred_hm.shape
     norm = W / 10.0                           # reference: output.size(3)/10
 
@@ -227,9 +223,55 @@ def heatmap_pck(pred_hm: np.ndarray, gt_hm: np.ndarray, veil: np.ndarray,
     g = argmax2d(gt_hm)
     d = np.linalg.norm((p - g).astype(np.float64), axis=-1) / norm
     valid = veil.astype(bool) & (g >= 1).all(axis=-1)
+    return d, valid
+
+
+def heatmap_pck(pred_hm: np.ndarray, gt_hm: np.ndarray, veil: np.ndarray,
+                threshold: float = 0.5) -> float:
+    """Heatmap-space PCK, the reference's exact protocol
+    (utils/eval/evalutils.py:29-76 accuracy_heatmap/calc_dists/dist_acc):
+    per-joint fraction of valid samples whose predicted argmax lies
+    within ``threshold * W / 10`` pixels of the GT argmax, MACRO-averaged
+    over joints with at least one valid sample. A sample-joint is
+    invalid when the veil is 0 OR its GT argmax row/col < 1 (empty or
+    border heatmap). Shapes: (B, H, W, J); veil (B, J)."""
+    d, valid = _heatmap_dists(pred_hm, gt_hm, veil)
+    J = d.shape[1]
     accs = []
     for j in range(J):
         dj = d[:, j][valid[:, j]]
         if len(dj):
             accs.append(float((dj < threshold).mean()))
     return float(np.mean(accs)) if accs else 0.0
+
+
+def heatmap_metrics(pred_hm: np.ndarray, gt_hm: np.ndarray,
+                    veil: np.ndarray, loose_threshold: float = 2.0) -> dict:
+    """The strict reference PCK plus two signals that do NOT degenerate
+    to 0.0 at miniature fine-tune budgets (round-4 VERDICT #4: every
+    bn_grid / int8_quality cell read hm_pck=0.0, leaving one loss scalar
+    carrying the whole quality program):
+
+    * ``hm_pck_loose`` — PCK at ``loose_threshold`` (default 2.0 =
+      within 2*W/10 px). Even a uniform-random argmax scores ~pi*(2W/10)^2
+      / (H*W) ≈ 0.13 on 32x32 maps, so the column is never all-zero and
+      localization progress moves it long before the strict 0.5 gate.
+    * ``hm_dist`` — mean normalized argmax distance (continuous; lower
+      is better), macro-averaged over joints like the PCK.
+    """
+    d, valid = _heatmap_dists(pred_hm, gt_hm, veil)
+    J = d.shape[1]
+    strict, loose, dists = [], [], []
+    for j in range(J):
+        dj = d[:, j][valid[:, j]]
+        if len(dj):
+            strict.append(float((dj < 0.5).mean()))
+            loose.append(float((dj < loose_threshold).mean()))
+            dists.append(float(dj.mean()))
+    if not strict:
+        return {"hm_pck": 0.0, "hm_pck_loose": 0.0, "hm_dist": float("nan")}
+    return {
+        "hm_pck": float(np.mean(strict)),
+        "hm_pck_loose": float(np.mean(loose)),
+        "hm_dist": float(np.mean(dists)),
+    }

@@ -83,20 +83,22 @@ def evaluate_detnet_forward(forward, dataset, builder, batch_size=64):
     from simhand_tpu.finetune.evaluation import (
         AverageMeter,
         EvalUtil,
-        heatmap_pck,
+        heatmap_metrics,
     )
 
     evaluator = EvalUtil()
-    hm_acc = AverageMeter()
+    meters = {k: AverageMeter()
+              for k in ("hm_pck", "hm_pck_loose", "hm_dist")}
     for batch in detnet_batch_iterator(
         dataset, builder, batch_size, shuffle=False, drop_remainder=False
     ):
         preds = forward(batch["img"])
-        hm_acc.update(
-            heatmap_pck(np.asarray(preds["h_map"], np.float32),
-                        batch["hm"], batch["hm_veil"]),
-            n=batch["hm"].shape[0],
-        )
+        hm = heatmap_metrics(np.asarray(preds["h_map"], np.float32),
+                             batch["hm"], batch["hm_veil"])
+        n = batch["hm"].shape[0]
+        for k, meter in meters.items():
+            if np.isfinite(hm[k]):
+                meter.update(hm[k], n=n)
         if "joint" not in batch:
             continue
         xyz = np.asarray(preds["xyz"])  # root-relative, bone-normalized
@@ -105,7 +107,7 @@ def evaluate_detnet_forward(forward, dataset, builder, batch_size=64):
         bone = batch["joint_bone"].reshape(-1, 1, 1)
         gt_norm = (gt - root) / bone
         evaluator.feed(gt_norm.reshape(-1, 21, 3), xyz.reshape(-1, 21, 3))
-    out = {"hm_pck": hm_acc.avg}
+    out = {k: meter.avg for k, meter in meters.items()}
     if evaluator._dists:
         epe_mean, _, epe_median, auc, _, _ = evaluator.get_measures(
             0.0, 0.05, 20
@@ -307,6 +309,11 @@ def main(argv=None):
     loss_rows = {name: [] for name in curve_files.values()}
     auc_all: dict[str, list] = {}
     acc_hm_all: dict[str, list] = {}
+    # additive artifact (round-5): per-epoch [epoch, pck_loose, dist]
+    # rows — the non-degenerate heatmap signals (heatmap_metrics) that
+    # stay informative at miniature budgets where the strict PCK and
+    # 3D AUC read 0.0. The reference-contract npys above are untouched.
+    hm_extras_all: dict[str, list] = {}
     if args.resume and global_step:
         # keep the pre-resume history instead of overwriting the npy
         # artifacts with only post-resume rows
@@ -314,7 +321,8 @@ def main(argv=None):
             f = os.path.join(args.out_dir, f"{name}.npy")
             if os.path.exists(f):
                 loss_rows[name] = np.load(f).reshape(-1, 2).tolist()
-        for store, fname in ((auc_all, "auc_all"), (acc_hm_all, "acc_hm_all")):
+        for store, fname in ((auc_all, "auc_all"), (acc_hm_all, "acc_hm_all"),
+                             (hm_extras_all, "hm_extras_all")):
             f = os.path.join(args.out_dir, f"{fname}.npy")
             if os.path.exists(f):
                 store.update(np.load(f, allow_pickle=True).item())
@@ -327,6 +335,8 @@ def main(argv=None):
                 np.asarray(auc_all, dtype=object))
         np.save(os.path.join(args.out_dir, "acc_hm_all.npy"),
                 np.asarray(acc_hm_all, dtype=object))
+        np.save(os.path.join(args.out_dir, "hm_extras_all.npy"),
+                np.asarray(hm_extras_all, dtype=object))
 
     start_epoch = global_step // max(steps_per_epoch, 1)
     for epoch in range(start_epoch, args.epochs):
@@ -371,6 +381,9 @@ def main(argv=None):
                 )
             acc_hm_all.setdefault(val_name, []).append(
                 [epoch + 1, metrics["hm_pck"]]
+            )
+            hm_extras_all.setdefault(val_name, []).append(
+                [epoch + 1, metrics["hm_pck_loose"], metrics["hm_dist"]]
             )
             manager.save(global_step, jax.device_get(state),
                          {"det_total": float(np.mean(losses))})

@@ -446,3 +446,33 @@ def test_heatmap_pck_reference_protocol():
     # macro average over joints 0 (acc 1.0) and 1 (acc 0.5); joint 2
     # contributes nothing
     assert got == pytest.approx((1.0 + 0.5) / 2)
+
+
+def test_heatmap_metrics_non_degenerate():
+    """heatmap_metrics keeps two extra signals informative where the
+    strict PCK reads 0.0 (round-4 VERDICT #4: all-zero metric columns at
+    miniature budgets): hm_pck_loose is non-zero even for random argmax
+    placement, hm_dist is continuous, and hm_pck matches heatmap_pck
+    exactly."""
+    from simhand_tpu.finetune.evaluation import heatmap_metrics, heatmap_pck
+
+    rng = np.random.default_rng(0)
+    B, H, W, J = 8, 32, 32, 21
+    gt = np.zeros((B, H, W, J), np.float32)
+    for b in range(B):
+        for j in range(J):
+            gt[b, rng.integers(2, 30), rng.integers(2, 30), j] = 1.0
+    pred = rng.normal(size=(B, H, W, J)).astype(np.float32)
+    veil = np.ones((B, J), np.float32)
+
+    m = heatmap_metrics(pred, gt, veil)
+    assert m["hm_pck"] == heatmap_pck(pred, gt, veil)
+    assert m["hm_pck_loose"] > 0.0          # never an all-zero column
+    assert m["hm_pck_loose"] >= m["hm_pck"]
+    assert np.isfinite(m["hm_dist"]) and m["hm_dist"] > 0.0
+
+    perfect = heatmap_metrics(gt, gt, veil)
+    assert perfect == {"hm_pck": 1.0, "hm_pck_loose": 1.0, "hm_dist": 0.0}
+
+    empty = heatmap_metrics(pred, gt, np.zeros((B, J), np.float32))
+    assert empty["hm_pck"] == 0.0 and np.isnan(empty["hm_dist"])

@@ -426,7 +426,11 @@ def main():
     }
 
     is_default = (B == 128 and side == 128 and resnet_size == "50"
-                  and os.environ.get("BENCH_BN_SG", "0") != "1")
+                  and os.environ.get("BENCH_BN_SG", "0") != "1"
+                  # compiler-flag experiment runs (LIBTPU_INIT_ARGS is a
+                  # remote-compile option, CLAUDE.md) must not overwrite
+                  # the stale-fallback record with a flag-arm number
+                  and not os.environ.get("LIBTPU_INIT_ARGS"))
     # Second arm: the promoted stop-grad-BN production config (round-5
     # SG-BN grid: 5/5 seeds quality-positive, +13% throughput) measured
     # in the same invocation so it enters the driver record as extra

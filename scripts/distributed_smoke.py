@@ -153,6 +153,15 @@ def _global_batch():
 
 def run_worker(pid: int, port: int, out_path: str, fsdp: bool = False,
                mine: bool = False):
+    # A hung cross-process collective (observed once in the 1-core env:
+    # both workers asleep in a gloo wait, SIGTERM unhandled because the
+    # main thread never re-enters Python) would otherwise time out the
+    # launcher with zero diagnostics — dump every thread's stack to
+    # stderr before the launcher's 600 s wait expires.
+    import faulthandler
+
+    faulthandler.dump_traceback_later(540, exit=False)
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -181,29 +190,58 @@ def run_worker(pid: int, port: int, out_path: str, fsdp: bool = False,
 def run_launcher(fsdp: bool = False, mine: bool = False):
     import numpy as np
 
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-
     mode_args = (["--fsdp"] if fsdp else []) + (["--mine"] if mine else [])
-    tmp = tempfile.mkdtemp(prefix="dist_smoke_")
-    procs, outs = [], []
-    for pid in range(NPROC):
-        out = os.path.join(tmp, f"worker{pid}.json")
-        outs.append(out)
-        env = dict(os.environ)
-        env["PYTHONPATH"] = REPO
-        env["XLA_FLAGS"] = (
-            f"--xla_force_host_platform_device_count={LOCAL_DEVICES}"
-        )
-        env["JAX_PLATFORMS"] = "cpu"
-        procs.append(subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__),
-             "--worker", str(pid), "--port", str(port), "--out", out]
-            + mode_args,
-            env=env,
-        ))
-    rcs = [p.wait(timeout=600) for p in procs]
+
+    def attempt():
+        """One spawn-and-wait of the NPROC worker ring on a fresh port +
+        tmpdir. Returns (rcs, outs) or None on a hang (a worker stuck
+        past 600 s — seen once on the 1-core host as a gloo collective
+        where both workers slept forever; the workers dump their own
+        stacks at 540 s, see run_worker)."""
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        tmp = tempfile.mkdtemp(prefix="dist_smoke_")
+        procs, outs = [], []
+        for pid in range(NPROC):
+            out = os.path.join(tmp, f"worker{pid}.json")
+            outs.append(out)
+            env = dict(os.environ)
+            env["PYTHONPATH"] = REPO
+            env["XLA_FLAGS"] = (
+                f"--xla_force_host_platform_device_count={LOCAL_DEVICES}"
+            )
+            env["JAX_PLATFORMS"] = "cpu"
+            procs.append(subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__),
+                 "--worker", str(pid), "--port", str(port), "--out", out]
+                + mode_args,
+                env=env,
+            ))
+        try:
+            rcs = [p.wait(timeout=600) for p in procs]
+        except subprocess.TimeoutExpired:
+            for p in procs:  # SIGKILL: a gloo-blocked main thread
+                p.kill()     # never runs Python signal handlers
+            for p in procs:
+                p.wait()
+            return None
+        return rcs, outs, tmp
+
+    res = attempt()
+    if res is None:
+        # One retry on a fresh port: the only hang ever observed was a
+        # non-deterministic connect/collective race (same code passed on
+        # the immediately following fsdp/mine arms and on re-run). Two
+        # consecutive hangs = a real bug, fail loudly.
+        print("# worker ring hung after 600s; retrying on a fresh port",
+              file=sys.stderr, flush=True)
+        res = attempt()
+        if res is None:
+            print(json.dumps({"ok": False, "error": "worker ring hung "
+                              "twice (600s each) — not a transient race"}))
+            return 1
+    rcs, outs, tmp = res
     if any(rcs):
         print(json.dumps({"ok": False, "worker_rcs": rcs}))
         return 1

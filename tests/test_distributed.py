@@ -26,7 +26,7 @@ def test_two_process_step_matches_single_process(mode):
     if mode == "fsdp":
         cmd.append("--fsdp")
     out = subprocess.run(
-        cmd, env=env, capture_output=True, text=True, timeout=900,
+        cmd, env=env, capture_output=True, text=True, timeout=1800,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     result = json.loads(out.stdout.strip().splitlines()[-1])
@@ -47,7 +47,7 @@ def test_two_process_ring_mining_matches_oracle():
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts",
                                       "distributed_smoke.py"), "--mine"],
-        env=env, capture_output=True, text=True, timeout=900,
+        env=env, capture_output=True, text=True, timeout=1800,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     result = json.loads(out.stdout.strip().splitlines()[-1])
